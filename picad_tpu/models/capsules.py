@@ -1,0 +1,248 @@
+"""Capsule localization head: PrimaryCaps, EM-routed ConvCaps, CapsNet.
+
+TPU-native re-design of the reference capsule network
+(models/capsules_ucf101.py).  The reference's capsule tensors are already
+channel-last ((B, h, w, caps*(P*P+1))), so the math carries over directly
+onto our channels-last layout; the torch-specific mechanics (patch
+extraction that is a no-op for K=(1,1), `.repeat`-based vote matmuls,
+python-list class masking) are replaced by reshapes, one einsum, and
+vectorized one-hot selects.
+
+Structure (reference line refs):
+- PrimaryCaps (:10-49): two 9x9 VALID convs over the 28x28x832 Mixed_4f
+  map: pose (832->B_caps*P*P=512) and activation (832->32, sigmoid);
+  output (B, 20, 20, 544).
+- ConvCaps (:52-331) with K=(1,1), C classes, P=4, 3 EM iterations: votes
+  v[n,i,j] = pose[n,i] @ W[i,j] (4x4 matmuls, einsum), then EM routing
+  (picad_tpu.ops.em_routing); output (B, 20, 20, C*16 + C).
+- CapsNet (:334-512): I3D@Mixed_4f encoder, class scores = spatial mean
+  of capsule activations (:450-451), class-conditional pose masking with
+  a pseudo-label switch at `thresh_epoch` (:455-479), transposed-conv
+  decoder with 3 skip connections -> (B, 8, 224, 224) seg logits.
+
+`num_classes` is 24 for UCF101-24 and 21 for JHMDB-21 (the reference's
+JHMDB model module is missing from its repo — main_jhmdb.py:369 imports
+`models.capsules_jhmdb_semi_sup_pa` — so this parameterization is the
+reconstructed equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from picad_tpu.models.i3d import InceptionI3d
+from picad_tpu.models.layers import Dropout3d
+from picad_tpu.ops.convops import conv_nd, conv_transpose_nd
+from picad_tpu.ops.em_routing import em_routing
+
+
+def _torch_conv_uniform(fan_in: int):
+    """torch's default Conv/ConvTranspose init: U(-1/sqrt(fan_in), +)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / (fan_in ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _normal(stddev: float):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class PrimaryCaps(nn.Module):
+    """Primary capsule layer: pose + sigmoid activation convs (ref :10-49)."""
+
+    caps_types: int = 32  # B in the reference
+    pose_size: int = 4  # P
+    kernel: int = 9
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, 28, 28, 832)
+        cin = x.shape[-1]
+        k = self.kernel
+        psize = self.pose_size * self.pose_size
+        fan_in = cin * k * k
+        wp = self.param(
+            "pose_kernel", _normal(0.1), (k, k, cin, self.caps_types * psize)
+        )
+        bp = self.param(
+            "pose_bias", _torch_conv_uniform(fan_in), (self.caps_types * psize,)
+        )
+        wa = self.param("a_kernel", _normal(0.1), (k, k, cin, self.caps_types))
+        ba = self.param("a_bias", _torch_conv_uniform(fan_in), (self.caps_types,))
+        dt = self.compute_dtype
+        xc = x.astype(dt)
+        p = conv_nd(xc, wp.astype(dt), 1, "VALID") + bp
+        a = conv_nd(xc, wa.astype(dt), 1, "VALID") + ba
+        a = jax.nn.sigmoid(a)
+        # (B, 20, 20, caps*psize + caps) — already channel-last like the
+        # reference's permute(0, 2, 3, 1) output (:47-49).
+        return jnp.concatenate([p, a], axis=-1)
+
+
+class ConvCaps(nn.Module):
+    """1x1 matrix-capsule layer with EM routing (ref :52-331, K=(1,1))."""
+
+    in_caps: int = 32  # B
+    out_caps: int = 24  # C
+    pose_size: int = 4  # P
+    iters: int = 3
+    eps: float = 1e-8
+    lam: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, B_caps*(psize+1))
+        P = self.pose_size
+        psize = P * P
+        Bi, C = self.in_caps, self.out_caps
+        b, h, w, c = x.shape
+        assert c == Bi * (psize + 1), (c, Bi, psize)
+
+        beta_u = self.param("beta_u", nn.initializers.normal(1.0), (C, psize))
+        beta_a = self.param("beta_a", nn.initializers.normal(1.0), (C,))
+        weights = self.param("weights", nn.initializers.normal(1.0), (Bi, C, P, P))
+
+        pose = x[..., : Bi * psize].reshape(b * h * w, Bi, P, P)
+        act = x[..., Bi * psize :].reshape(b * h * w, Bi, 1)
+
+        # Votes: v[n, i, j] = pose[n, i] @ W[i, j]  (ref transform_view :247-268)
+        v = jnp.einsum(
+            "nipq,ijqr->nijpr",
+            pose.astype(jnp.float32),
+            weights.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).reshape(b * h * w, Bi, C, psize)
+
+        mu, a_out = em_routing(
+            v,
+            act.astype(jnp.float32),
+            beta_u,
+            beta_a,
+            iters=self.iters,
+            eps=self.eps,
+            lam=self.lam,
+        )
+        p_out = mu.reshape(b, h, w, C * psize)
+        a_out = a_out.reshape(b, h, w, C)
+        return jnp.concatenate([p_out, a_out], axis=-1)
+
+
+class CapsNet(nn.Module):
+    """Full model: I3D encoder + capsule head + skip decoder (ref :334-512)."""
+
+    num_classes: int = 24
+    pose_size: int = 4
+    compute_dtype: Any = jnp.float32
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,  # (B, T=8, 224, 224, 3)
+        classification: jax.Array,  # (B,) int class labels (gt; dummy at eval)
+        concat_labels: jax.Array,  # (B,) 1 = labeled, 0 = unlabeled
+        epoch: jax.Array,  # scalar; pseudo-labels switch on at thresh_epoch
+        thresh_epoch: jax.Array,
+        train: bool = False,
+    ):
+        """Returns (seg_logits (B, 8, 224, 224), class_scores (B, C),
+        feat (B, h*w, C))."""
+        P = self.pose_size
+        psize = P * P
+        caps = self.num_classes
+        dt = self.compute_dtype
+
+        x, cross56, cross112 = InceptionI3d(
+            final_endpoint="Mixed_4f", name="conv1", compute_dtype=dt
+        )(img, train)
+
+        x = Dropout3d(self.dropout_rate, name="drop_enc")(x, deterministic=not train)
+
+        b = x.shape[0]
+        x = x.reshape(b, 28, 28, 832)  # T=1 at Mixed_4f
+        cross28 = x
+        x = PrimaryCaps(32, P, 9, compute_dtype=dt, name="primary_caps")(x)
+        # caps_reorder (ref :399-410) is an effective identity for this
+        # layout — the pose slice computes to all 544 channels — so it is
+        # intentionally omitted.
+        combined = ConvCaps(32, caps, P, name="conv_caps")(x)
+
+        h, w = combined.shape[1], combined.shape[2]
+        ranges = caps * psize
+        activations = combined[..., ranges : ranges + caps]  # (B, h, w, caps)
+        poses = combined[..., :ranges]
+
+        feat = activations.reshape(b, h * w, caps)
+        class_scores = jnp.mean(activations, axis=(1, 2))  # (B, caps)
+
+        one_hot_pred = jax.nn.one_hot(
+            jnp.argmax(class_scores, axis=1), caps, dtype=jnp.float32
+        )
+        if train:
+            one_hot_gt = jax.nn.one_hot(
+                classification.astype(jnp.int32).reshape(b), caps, dtype=jnp.float32
+            )
+            # epoch counts from 1; pseudo-labels replace all-ones masks for
+            # unlabeled rows once epoch >= thresh_epoch (ref :459-464).
+            unlabeled_mask = jnp.where(
+                epoch < thresh_epoch, jnp.ones_like(one_hot_gt), one_hot_pred
+            )
+            sel = (concat_labels.reshape(b, 1) == 0).astype(jnp.float32)
+            class_mask = sel * unlabeled_mask + (1.0 - sel) * one_hot_gt
+        else:
+            class_mask = one_hot_pred
+
+        poses = poses.reshape(b, h, w, caps, psize)
+        poses = poses * class_mask[:, None, None, :, None]
+        poses = poses.reshape(b, h, w, ranges)  # (B, 20, 20, caps*16)
+
+        # ---- Decoder (ref :358-374, :486-509) ----
+        relu = jax.nn.relu
+
+        def ct(name, x, cin, cout, kernel, stride, padding, output_padding, nd):
+            kshape = (kernel,) * nd + (cin, cout)
+            kw = self.param(f"{name}_kernel", _normal(0.02), kshape)
+            fan_in = cout * kernel**nd  # torch fan-in for ConvTranspose bias
+            kb = self.param(f"{name}_bias", _torch_conv_uniform(fan_in), (cout,))
+            y = conv_transpose_nd(
+                x.astype(dt), kw.astype(dt), stride, padding, output_padding
+            )
+            return y + kb
+
+        def conv(name, x, cin, cout, kernel, nd):
+            kshape = (kernel,) * nd + (cin, cout)
+            fan_in = cin * kernel**nd
+            kw = self.param(f"{name}_kernel", _torch_conv_uniform(fan_in), kshape)
+            kb = self.param(f"{name}_bias", _torch_conv_uniform(fan_in), (cout,))
+            y = conv_nd(x.astype(dt), kw.astype(dt), 1, kernel // 2)
+            return y + kb
+
+        # upsample1: ConvT2d 384->64 k9 s1 p0: 20x20 -> 28x28
+        x = relu(ct("upsample1", poses, ranges, 64, 9, 1, 0, 0, nd=2))
+        x = x.reshape(b, 1, 28, 28, 64)
+
+        c28 = relu(conv("conv28", cross28, 832, 64, 3, nd=2)).reshape(b, 1, 28, 28, 64)
+        x = jnp.concatenate([x, c28], axis=-1)  # (B, 1, 28, 28, 128)
+
+        # upsample2/3: ConvT3d k3 s2 p1 op1 — exact 2x in each dim
+        x = relu(ct("upsample2", x, 128, 64, 3, 2, 1, 1, nd=3))  # (B,2,56,56,64)
+        c56 = relu(conv("conv56", cross56, 192, 64, 3, nd=3))
+        x = jnp.concatenate([x, c56], axis=-1)
+
+        x = relu(ct("upsample3", x, 128, 64, 3, 2, 1, 1, nd=3))  # (B,4,112,112,64)
+        c112 = relu(conv("conv112", cross112, 64, 64, 3, nd=3))
+        x = jnp.concatenate([x, c112], axis=-1)
+
+        x = ct("upsample4", x, 128, 128, 3, 2, 1, 1, nd=3)  # (B,8,224,224,128)
+        x = Dropout3d(self.dropout_rate, name="drop_dec")(x, deterministic=not train)
+        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size
+        x = ct("smooth", x, 128, 1, 3, 1, 1, 0, nd=3)
+
+        seg_logits = x.reshape(b, 8, 224, 224).astype(jnp.float32)
+        return seg_logits, class_scores.astype(jnp.float32), feat
