@@ -92,15 +92,18 @@ def pixelwise_cyclic_variance(
 def temporal_gradient(x: jax.Array, axis: int = 1) -> jax.Array:
     """np.gradient along one axis: central differences, one-sided edges."""
     n = x.shape[axis]
+    # g[0] = x[1] - x[0]; g[i] = (x[i+1] - x[i-1]) / 2; g[n-1] = x[n-1] - x[n-2]
     upper = jnp.concatenate(
         [
             jax.lax.slice_in_dim(x, 1, 2, axis=axis),
             jax.lax.slice_in_dim(x, 2, n, axis=axis),
+            jax.lax.slice_in_dim(x, n - 1, n, axis=axis),
         ],
         axis=axis,
     )
     lower = jnp.concatenate(
         [
+            jax.lax.slice_in_dim(x, 0, 1, axis=axis),
             jax.lax.slice_in_dim(x, 0, n - 2, axis=axis),
             jax.lax.slice_in_dim(x, n - 2, n - 1, axis=axis),
         ],
