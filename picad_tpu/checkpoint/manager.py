@@ -1,0 +1,60 @@
+"""Native checkpoints (Orbax) + the reference's best-loss retention policy.
+
+The reference saves a bare state_dict whenever train/val loss improves and
+deletes the previously-best file only while epoch < 20
+(main_ucf101.py:439-455); no optimizer state is saved and no resume
+exists.  We keep that policy for drop-in familiarity but checkpoint the
+*full* train state (params, batch stats, optimizer state, epoch, LR
+scheduler state), which adds real checkpoint/resume capability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointIO:
+    """Thin Orbax wrapper for whole-train-state checkpoints."""
+
+    def __init__(self):
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, path: str, state: Any) -> None:
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, path: str, template: Any) -> Any:
+        return self._ckptr.restore(os.path.abspath(path), template)
+
+
+class BestCheckpointPolicy:
+    """best-val / best-train retention matching main_ucf101.py:429-455."""
+
+    def __init__(self, save_dir: str, tag: str, keep_all_after_epoch: int = 20):
+        self.save_dir = save_dir
+        self.tag = tag  # 'val' or 'train'
+        self.keep_all_after_epoch = keep_all_after_epoch
+        self.best_loss = float("inf")
+        self.prev_path: str | None = None
+        self.io = CheckpointIO()
+
+    def maybe_save(self, epoch: int, loss: float, state: Any) -> str | None:
+        if loss >= self.best_loss:
+            return None
+        self.best_loss = loss
+        path = os.path.join(
+            self.save_dir, f"best_model_{self.tag}_loss_{epoch}"
+        )
+        self.io.save(path, state)
+        if self.prev_path and epoch < self.keep_all_after_epoch:
+            shutil.rmtree(self.prev_path, ignore_errors=True)
+        self.prev_path = path
+        return path

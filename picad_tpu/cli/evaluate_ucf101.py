@@ -1,0 +1,61 @@
+"""UCF101-24 evaluation CLI (evaluate_ucf101.py equivalent).
+
+  python -m picad_tpu.cli.evaluate_ucf101 --ckpt DIR \
+      --data_root /data/ucf101 --annotation_root /data/pkls
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from picad_tpu.data.dataset import EvalVideoDataset
+from picad_tpu.data.sources import SyntheticVideoSource, UCFVideoSource
+from picad_tpu.eval.runner import sweep_checkpoints
+from picad_tpu.models.capsules import CapsNet
+from picad_tpu.train.optimizer import make_optimizer
+from picad_tpu.train.state import create_train_state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="evaluation")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--seed", type=int, default=47)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--annotation_root", type=str, default="")
+    p.add_argument("--test_file", type=str, default="testing_annots.pkl")
+    p.add_argument("--clip_batch_size", type=int, default=14)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no_prune", action="store_true")
+    args = p.parse_args(argv)
+
+    model = CapsNet(num_classes=24)
+    template = create_train_state(
+        model, make_optimizer(), rng=jax.random.PRNGKey(args.seed)
+    )
+    if args.synthetic:
+        source = SyntheticVideoSource(8, num_classes=24, seed=args.seed)
+    else:
+        source = UCFVideoSource(
+            os.path.join(args.annotation_root, args.test_file),
+            args.data_root,
+            single_annotation=True,
+        )
+    dataset = EvalVideoDataset(source)
+    sweep_checkpoints(
+        model,
+        template,
+        args.ckpt,
+        dataset,
+        split=args.split,
+        n_classes=24,
+        clip_batch_size=args.clip_batch_size,
+        prune=not args.no_prune,
+    )
+
+
+if __name__ == "__main__":
+    main()

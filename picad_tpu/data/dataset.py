@@ -1,0 +1,192 @@
+"""Clip sampling datasets (train/val) and whole-video eval datasets.
+
+`ClipDataset.__getitem__` replicates the reference sampling rules
+(datasets/ucf_dataloader.py:86-191):
+
+- pick a random annotated frame; start = frame - depth*vskip/2, falling
+  back vskip 2 -> 1 at the left boundary, clamping to 0, and sliding the
+  window left at the right boundary (:125-148);
+- a selected frame beyond the video, a failed decode, or an empty
+  annotation list yields an all-zero sample flagged unlabeled
+  (:96-121, :133-140);
+- frames at `start + arange(depth) * vskip`, random 224-crop (train) /
+  center crop (val), /255 normalize (:145-172);
+- per-frame label mask from the cropped box heat map (any positive pixel
+  -> 1, :169-172);
+- `aug_data` = horizontal flip (:175).
+
+JHMDB adds the per-frame validity channel `mask_cls`: a frame's mask (and
+validity) is set only when its span index (or +1 at vskip=2) is annotated
+(datasets/jhmdb_dataloader.py:196-210).  For UCF the validity volume is
+all-ones, so a single code path serves both.
+
+Samples are channels-last: data (8, 224, 224, 3) — no transpose on the
+TPU path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def _center_or_random_crop(h, w, out_h, out_w, train: bool, rng):
+    if train:
+        y = int(rng.integers(0, h - out_h)) if h > out_h else 0
+        x = int(rng.integers(0, w - out_w)) if w > out_w else 0
+    else:
+        y = (h - out_h) // 2
+        x = (w - out_w) // 2
+    return y, x
+
+
+class ClipDataset:
+    """Samples fixed-length clips for training/validation."""
+
+    def __init__(
+        self,
+        source,
+        *,
+        train: bool,
+        clip_shape=(224, 224),
+        depth: int = 8,
+        vskip: int = 2,
+        with_validity: bool = False,
+        seed: int = 0,
+    ):
+        self.source = source
+        self.train = train
+        self.height, self.width = clip_shape
+        self.depth = depth
+        self.vskip = vskip
+        self.with_validity = with_validity
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def _zero_sample(self) -> dict[str, Any]:
+        d, h, w = self.depth, self.height, self.width
+        zero_v = np.zeros((d, h, w, 3), dtype=np.float32)
+        zero_m = np.zeros((d, h, w, 1), dtype=np.float32)
+        sample = {
+            "data": zero_v,
+            "aug_data": zero_v,
+            "loc_msk": zero_m,
+            "action": np.int32(0),
+            "label_vid": np.int32(0),
+        }
+        if self.with_validity:
+            sample["mask_cls"] = np.zeros((d, h, w, 1), dtype=np.float32)
+        return sample
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = np.random.default_rng((self.seed, self._epoch, index))
+        rec = self.source.load(index)
+        if rec is None or len(rec.annot_frames) == 0:
+            return self._zero_sample()
+
+        depth = self.depth
+        vlen, clip_h, clip_w, _ = rec.video.shape
+        annot_frames = np.asarray(rec.annot_frames)
+
+        if len(annot_frames) == 1:
+            selected = int(annot_frames[0])
+        else:
+            selected = int(annot_frames[rng.integers(0, len(annot_frames))])
+
+        vskip = self.vskip
+        start = selected - (depth * vskip) // 2
+        if start < 0:
+            vskip = 1
+            start = selected - (depth * vskip) // 2
+            if start < 0:
+                start = 0
+                vskip = 1
+        if selected >= vlen:
+            return self._zero_sample()
+        if start + depth * vskip >= vlen:
+            start = vlen - depth * vskip
+        # A very short video can still underflow; degrade like a decode
+        # failure rather than wrapping around.
+        if start < 0:
+            return self._zero_sample()
+
+        span = np.arange(depth) * vskip + start
+        video = rec.video[span]
+        mask = rec.mask[span]
+
+        y, x = _center_or_random_crop(
+            clip_h, clip_w, self.height, self.width, self.train, rng
+        )
+        video = video[:, y : y + self.height, x : x + self.width, :]
+        mask = mask[:, y : y + self.height, x : x + self.width, :]
+
+        data = video.astype(np.float32) / 255.0
+        loc = np.zeros((depth, self.height, self.width, 1), dtype=np.float32)
+        validity = np.zeros_like(loc)
+        annot_set = set(int(f) for f in annot_frames)
+        for j in range(depth):
+            frame_ok = True
+            if self.with_validity:
+                if vskip == 2:
+                    frame_ok = (span[j] in annot_set) or (span[j] + 1 in annot_set)
+                else:
+                    frame_ok = span[j] in annot_set
+            if frame_ok:
+                loc[j, mask[j, :, :, 0] > 0, 0] = 1.0
+                validity[j] = 1.0
+
+        sample = {
+            "data": data,
+            "aug_data": np.ascontiguousarray(data[:, :, ::-1, :]),
+            "loc_msk": loc,
+            "action": np.int32(rec.label),
+            "label_vid": np.int32(rec.labeled),
+        }
+        if self.with_validity:
+            sample["mask_cls"] = validity
+        return sample
+
+
+class EvalVideoDataset:
+    """Whole-video eval samples: center-cropped video + mask volume + label.
+
+    Matches datasets/ucf_dataloader_eval.py:87-107 /
+    jhmdb_dataloader_eval.py:83-99: no temporal sampling — chunking
+    happens in eval.clips.
+    """
+
+    def __init__(self, source, *, clip_shape=(224, 224), return_name: bool = False):
+        self.source = source
+        self.height, self.width = clip_shape
+        self.return_name = return_name
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __getitem__(self, index: int):
+        rec = self.source.load(index)
+        if rec is None:
+            return None
+        _, h, w, _ = rec.video.shape
+        y = (h - self.height) // 2
+        x = (w - self.width) // 2
+        video = rec.video[:, y : y + self.height, x : x + self.width, :].astype(
+            np.float32
+        ) / 255.0
+        mask = rec.mask[:, y : y + self.height, x : x + self.width, :]
+        if self.return_name:
+            return video, mask, rec.label, getattr(rec, "name", str(index))
+        return video, mask, rec.label
+
+    def __iter__(self):
+        for i in range(len(self)):
+            item = self[i]
+            if item is not None:
+                yield item

@@ -1,0 +1,142 @@
+"""Host-side batching + asynchronous device prefetch.
+
+Replaces the reference's torch DataLoader(num_workers=8) pair
+(main_ucf101.py:353-374) with:
+
+- `SemiSupervisedBatcher`: per-epoch iterator yielding concatenated
+  labeled+unlabeled batches.  Epoch length = number of unlabeled batches;
+  the labeled stream cycles (main_ucf101.py:169-178).  The reference's
+  in-batch randperm shuffle (main_ucf101.py:73-79) happens here on the
+  host — it runs *before* the forward, so shuffling at batch-assembly
+  time is mathematically identical (it exists to mix labeled/unlabeled
+  rows within BN batch statistics).
+- `PrefetchLoader`: a worker-thread pool maps dataset indices to samples,
+  a collator stacks them, and finished batches are `jax.device_put` with
+  the target sharding ahead of use (double buffering), so H2D transfer
+  overlaps the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[dict]) -> dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+class SemiSupervisedBatcher:
+    """Yields shuffled labeled+unlabeled batches, one epoch at a time."""
+
+    def __init__(
+        self,
+        labeled_dataset,
+        unlabeled_dataset,
+        *,
+        batch_size: int,
+        seed: int = 0,
+        workers: int = 4,
+        force_stream_flags: bool = False,
+    ):
+        assert batch_size % 2 == 0, "batch is split half labeled / half unlabeled"
+        self.labeled = labeled_dataset
+        self.unlabeled = unlabeled_dataset
+        self.half = batch_size // 2
+        self.seed = seed
+        self.workers = workers
+        # UCF101 reads labeled_vid from ann[5]; JHMDB has no flag and the
+        # reference driver forces ones/zeros per stream (main_jhmdb.py:66-70).
+        self.force_stream_flags = force_stream_flags
+
+    def steps_per_epoch(self) -> int:
+        return max(len(self.unlabeled) // self.half, 1)
+
+    def epoch(self, epoch: int) -> Iterator[dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        for ds in (self.labeled, self.unlabeled):
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+
+        unlabeled_order = rng.permutation(len(self.unlabeled))
+        labeled_order = rng.permutation(len(self.labeled))
+        labeled_pos = 0
+
+        def next_labeled_indices(n):
+            nonlocal labeled_pos, labeled_order
+            out = []
+            while len(out) < n:
+                if labeled_pos >= len(labeled_order):
+                    labeled_order = rng.permutation(len(self.labeled))
+                    labeled_pos = 0
+                out.append(int(labeled_order[labeled_pos]))
+                labeled_pos += 1
+            return out
+
+        steps = self.steps_per_epoch()
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for step in range(steps):
+                u_idx = unlabeled_order[step * self.half : (step + 1) * self.half]
+                l_idx = next_labeled_indices(self.half)
+                l_samples = list(pool.map(self.labeled.__getitem__, l_idx))
+                u_samples = list(pool.map(self.unlabeled.__getitem__, u_idx))
+                if self.force_stream_flags:
+                    for s in l_samples:
+                        s["label_vid"] = np.int32(1)
+                    for s in u_samples:
+                        s["label_vid"] = np.int32(0)
+                batch = collate(l_samples + u_samples)
+                perm = rng.permutation(batch["data"].shape[0])
+                yield {k: v[perm] for k, v in batch.items()}
+
+
+class PrefetchLoader:
+    """Wraps a batch iterator; moves batches to device ahead of use."""
+
+    def __init__(
+        self,
+        batch_iterator: Iterator[dict[str, np.ndarray]],
+        *,
+        sharding=None,
+        prefetch: int = 2,
+        transform: Callable[[dict], Any] | None = None,
+    ):
+        self.iterator = batch_iterator
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.transform = transform
+
+    def __iter__(self):
+        import jax
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.iterator:
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    if self.sharding is not None:
+                        batch = jax.device_put(batch, self.sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,273 @@
+"""Video sources: decode + annotation rasterization.
+
+A VideoSource yields whole annotated videos; clip sampling happens in
+dataset.py.  Three backends:
+
+- `UCFVideoSource`: UCF101-24 — pickled annotation lists
+  [(video_name, [ann, ...]), ...] with ann = (start_frame, end_frame,
+  label, boxes, keyframe_ids, labeled_flag), videos decoded from
+  `<root>/UCF101_Videos/<name>.avi`; per-frame box rasterization matches
+  datasets/ucf_dataloader.py:203-264 (union over all annotations; the
+  keyframe-interpolated variant of :237-258 is `rasterize_keyframe_boxes`,
+  used by the eval 'train' split like ucf_dataloader_eval.py returns
+  bbox_annot).
+- `JHMDBVideoSource`: JHMDB-21 — txt video lists, cv2 decode resized to
+  256x256 (INTER_AREA), `puppet_mask.mat` part_mask volumes resized
+  NEAREST (datasets/jhmdb_dataloader.py:233-307); every frame is
+  annotated.
+- `SyntheticVideoSource`: procedural moving-actor videos + exact
+  rectangular masks, deterministic per (seed, index) — the hermetic
+  backend for tests and benchmarks (the reference has no equivalent; its
+  decode failures degrade to zero samples, which we also replicate).
+
+Decode failures return `None`, which the dataset converts into an
+all-zero sample flagged unlabeled, replicating
+datasets/ucf_dataloader.py:96-121,199-201.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+JHMDB_CLASSES = (
+    "brush_hair", "catch", "clap", "climb_stairs", "golf", "jump",
+    "kick_ball", "pick", "pour", "pullup", "push", "run", "shoot_ball",
+    "shoot_bow", "shoot_gun", "sit", "stand", "swing_baseball", "throw",
+    "walk", "wave",
+)
+
+
+@dataclasses.dataclass
+class VideoRecord:
+    """One decoded, annotated video."""
+
+    video: np.ndarray  # (F, H, W, 3) uint8 or float
+    mask: np.ndarray  # (F, H, W, 1) uint8
+    label: int
+    annot_frames: np.ndarray  # frame ids that carry annotation
+    labeled: int  # 1 = labeled subset, 0 = unlabeled
+
+
+def rasterize_boxes(
+    n_frames: int, h: int, w: int, annotations: Sequence
+) -> tuple[np.ndarray, int, int, list[int]]:
+    """Union-of-boxes per-frame heat map over all annotation tracks.
+
+    Matches datasets/ucf_dataloader.py:203-229 (the per-frame `bbox`
+    volume): for each ann = (start, end, label, boxes, keyframes, labeled)
+    and each covered frame, paint box (x, y, w, h) with 1.
+    Returns (mask (F, H, W, 1), label, labeled_flag, keyframes-union).
+    """
+    mask = np.zeros((n_frames, h, w, 1), dtype=np.uint8)
+    label, labeled = -1, -1
+    keyframes: list[int] = []
+    for ann in annotations:
+        start_frame, end_frame, label = int(ann[0]), int(ann[1]), int(ann[2])
+        labeled = int(ann[5]) if len(ann) > 5 else 1
+        keyframes.extend(int(f) for f in ann[4])
+        boxes = ann[3]
+        for f in range(start_frame, min(n_frames, end_frame + 1)):
+            x, y, bw, bh = (int(v) for v in boxes[f - start_frame])
+            mask[f, y : y + bh, x : x + bw, :] = 1
+    return mask, label, labeled, sorted(set(keyframes))
+
+
+def rasterize_keyframe_boxes(
+    n_frames: int, h: int, w: int, ann
+) -> np.ndarray:
+    """Keyframe boxes linearly interpolated between annotated frames.
+
+    Matches the bbox_annot construction (datasets/ucf_dataloader.py:230-258
+    / ucf_dataloader_eval.py train branch): boxes at the sorted keyframes
+    are connected by np.linspace over (x1, y1, x2, y2) corners.
+    """
+    mask = np.zeros((n_frames, h, w, 1), dtype=np.uint8)
+    start_frame, end_frame = int(ann[0]), int(ann[1])
+    boxes, keyframes = ann[3], sorted(int(f) for f in ann[4])
+    collect = []
+    for f in keyframes:
+        idx = f - start_frame
+        if 0 <= idx < len(boxes) and f < n_frames:
+            collect.append([int(v) for v in boxes[idx]])
+    if not collect:
+        return mask
+    if len(collect) == 1:
+        x, y, bw, bh = collect[0]
+        mask[start_frame:end_frame, y : y + bh, x : x + bw, :] = 1
+        return mask
+    x, y, bw, bh = collect[0]
+    mask[start_frame : keyframes[0], y : y + bh, x : x + bw, :] = 1
+    for i in range(len(collect) - 1):
+        frame_diff = keyframes[i + 1] - keyframes[i]
+        if frame_diff > 1:
+            x, y, bw, bh = collect[i]
+            pt1 = np.array([x, y, x + bw, y + bh])
+            x, y, bw, bh = collect[i + 1]
+            pt2 = np.array([x, y, x + bw, y + bh])
+            points = np.linspace(pt1, pt2, frame_diff).astype(np.int32)
+            for j in range(points.shape[0]):
+                x1, y1, x2, y2 = points[j]
+                mask[keyframes[i] + j, y1:y2, x1:x2, :] = 1
+        else:
+            x, y, bw, bh = collect[i]
+            mask[keyframes[i], y : y + bh, x : x + bw, :] = 1
+    x, y, bw, bh = collect[-1]
+    mask[keyframes[-1] : end_frame, y : y + bh, x : x + bw, :] = 1
+    return mask
+
+
+def _decode_video(path: str) -> np.ndarray | None:
+    """Decode a whole video with OpenCV (BGR->RGB)."""
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[:, :, ::-1])
+        cap.release()
+        if not frames:
+            return None
+        return np.stack(frames)
+    except Exception:
+        return None
+
+
+class UCFVideoSource:
+    """UCF101-24 source over a pickled annotation list."""
+
+    def __init__(
+        self,
+        annotation_file: str,
+        data_root: str,
+        *,
+        single_annotation: bool = False,
+        rng: np.random.Generator | None = None,
+    ):
+        with open(annotation_file, "rb") as f:
+            self.records = pickle.load(f)
+        self.data_root = data_root
+        self.single_annotation = single_annotation
+        self.rng = rng or np.random.default_rng()
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def load(self, index: int) -> VideoRecord | None:
+        v_name, anns = self.records[index]
+        video = _decode_video(
+            os.path.join(self.data_root, "UCF101_Videos", f"{v_name}.avi")
+        )
+        if video is None:
+            return None
+        n, h, w, _ = video.shape
+        if self.single_annotation:
+            idx = self.rng.integers(0, len(anns)) if len(anns) > 1 else 0
+            anns = [anns[idx]]
+        mask, label, labeled, keyframes = rasterize_boxes(n, h, w, anns)
+        return VideoRecord(video, mask, label, np.asarray(keyframes), labeled)
+
+
+class JHMDBVideoSource:
+    """JHMDB-21 source over a txt video list + puppet masks."""
+
+    def __init__(self, list_file: str, data_root: str, mask_root: str):
+        with open(list_file) as f:
+            self.names = [line.strip() for line in f if line.strip()]
+        self.data_root = data_root
+        self.mask_root = mask_root
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def load(self, index: int) -> VideoRecord | None:
+        import cv2
+        from scipy.io import loadmat
+
+        name = self.names[index]
+        video = _decode_video(os.path.join(self.data_root, f"{name}.avi"))
+        if video is None:
+            return None
+        try:
+            mat = loadmat(os.path.join(self.mask_root, name, "puppet_mask.mat"))
+            part_mask = mat["part_mask"]  # (H, W, F)
+        except Exception:
+            return None
+        # resize video to 256x256 (INTER_AREA) and masks NEAREST, like
+        # jhmdb_dataloader.py:249-268
+        vid256 = np.stack(
+            [
+                cv2.resize(f, (256, 256), interpolation=cv2.INTER_AREA)
+                for f in video
+            ]
+        )
+        n_mask = part_mask.shape[2]
+        mask = np.stack(
+            [
+                cv2.resize(
+                    part_mask[:, :, m], (256, 256), interpolation=cv2.INTER_NEAREST
+                )
+                for m in range(n_mask)
+            ]
+        )[..., None].astype(np.uint8)
+        label = JHMDB_CLASSES.index(name.split("/")[0])
+        annot_frames = np.arange(mask.shape[0])
+        return VideoRecord(vid256, mask, label, annot_frames, labeled=1)
+
+
+class SyntheticVideoSource:
+    """Procedural actor videos: a textured rectangle moving over noise.
+
+    Deterministic per (seed, index).  Shapes mimic UCF101 (240x320).
+    """
+
+    def __init__(
+        self,
+        num_videos: int = 64,
+        *,
+        video_len: int = 40,
+        height: int = 240,
+        width: int = 320,
+        num_classes: int = 24,
+        labeled_fraction: float = 0.5,
+        seed: int = 0,
+    ):
+        self.num_videos = num_videos
+        self.video_len = video_len
+        self.height = height
+        self.width = width
+        self.num_classes = num_classes
+        self.labeled_fraction = labeled_fraction
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_videos
+
+    def load(self, index: int) -> VideoRecord | None:
+        rng = np.random.default_rng((self.seed, index))
+        F, H, W = self.video_len, self.height, self.width
+        video = rng.integers(0, 60, (F, H, W, 3), dtype=np.uint8)
+        mask = np.zeros((F, H, W, 1), dtype=np.uint8)
+        bh, bw = int(rng.integers(40, 90)), int(rng.integers(30, 70))
+        y0 = int(rng.integers(0, H - bh))
+        x0 = int(rng.integers(0, W - bw))
+        vy, vx = rng.integers(-3, 4, 2)
+        for f in range(F):
+            y = int(np.clip(y0 + vy * f, 0, H - bh))
+            x = int(np.clip(x0 + vx * f, 0, W - bw))
+            video[f, y : y + bh, x : x + bw] = rng.integers(
+                120, 255, (bh, bw, 3), dtype=np.uint8
+            )
+            mask[f, y : y + bh, x : x + bw] = 1
+        label = int(rng.integers(0, self.num_classes))
+        labeled = int(rng.uniform() < self.labeled_fraction)
+        annot_frames = np.arange(2, F - 2, 4)
+        return VideoRecord(video, mask, label, annot_frames, labeled)

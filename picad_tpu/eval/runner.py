@@ -1,0 +1,111 @@
+"""Checkpoint-sweep evaluation runner (evaluate_ucf101.py equivalent).
+
+For every saved checkpoint matching `best_model_<split>*` in a directory:
+restore, run the full-video protocol (eval.engine) over the test set,
+print accuracy / f-mAP / v-mAP at 0.2 and 0.5, then keep only the
+best-fmAP and best-vmAP checkpoints (evaluate_ucf101.py:194-203).
+
+The model forward is jitted once on a fixed (clip_batch_size, 8, H, W, 3)
+shape; partial batches are zero-padded and the padding rows dropped on
+the host — XLA compiles a single program for the whole sweep (the
+reference re-dispatches per ragged batch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from picad_tpu.eval.engine import evaluate_dataset
+
+
+def make_padded_forward(
+    model, variables, *, clip_batch_size: int = 14, height: int = 224, width: int = 224
+) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
+    """Jitted eval forward over fixed-size padded clip batches.
+
+    Matches the reference eval call signature: dummy action 500, eval-mode
+    class masking by predicted argmax (evaluate_ucf101.py:123-128),
+    sigmoid applied to seg logits.
+    """
+
+    @jax.jit
+    def fwd(params, batch_stats, clips):
+        b = clips.shape[0]
+        dummy = jnp.full((b,), 500, jnp.int32)
+        seg, scores, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            clips,
+            dummy,
+            jnp.zeros((b,), jnp.float32),
+            0,
+            0,
+            False,
+        )
+        return jax.nn.sigmoid(seg), scores
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def forward(clips: np.ndarray):
+        n = clips.shape[0]
+        if n < clip_batch_size:
+            pad = np.zeros(
+                (clip_batch_size - n, *clips.shape[1:]), dtype=clips.dtype
+            )
+            clips = np.concatenate([clips, pad], axis=0)
+        seg, scores = fwd(params, stats, jnp.asarray(clips))
+        return np.asarray(seg)[:n], np.asarray(scores)[:n]
+
+    return forward
+
+
+def sweep_checkpoints(
+    model,
+    template_state,
+    ckpt_dir: str,
+    dataset,
+    *,
+    split: str = "train",
+    n_classes: int = 24,
+    clip_batch_size: int = 14,
+    prune: bool = True,
+) -> dict:
+    """Evaluate every matching checkpoint; prune to the two best."""
+    from picad_tpu.checkpoint.manager import CheckpointIO
+
+    io = CheckpointIO()
+    paths = sorted(glob.glob(os.path.join(ckpt_dir, f"best_model_{split}*")))
+    results = {}
+    fmap_best, vmap_best, names = [], [], []
+    for path in paths:
+        state = io.restore(path, template_state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        forward = make_padded_forward(
+            model, variables, clip_batch_size=clip_batch_size
+        )
+        summary = evaluate_dataset(
+            forward, dataset, n_classes=n_classes,
+            clip_batch_size=clip_batch_size, verbose=True,
+        )
+        results[path] = summary
+        names.append(path)
+        fmap_best.append(summary["fmAP@0.5"])
+        vmap_best.append(summary["vmAP@0.5"])
+
+    if prune and names:
+        keep = {
+            names[int(np.argmax(fmap_best))],
+            names[int(np.argmax(vmap_best))],
+        }
+        for path in names:
+            if path not in keep:
+                shutil.rmtree(path, ignore_errors=True)
+        print(os.listdir(ckpt_dir))
+    return results

@@ -151,12 +151,18 @@ class CapsNet(nn.Module):
         thresh_epoch: jax.Array,
         train: bool = False,
     ):
-        """Returns (seg_logits (B, 8, 224, 224), class_scores (B, C),
-        feat (B, h*w, C))."""
+        """Returns (seg_logits (B, T, H, W), class_scores (B, C),
+        feat (B, h*w, C)).
+
+        Input must be (B, 8, H, W, 3) with H, W divisible by 16 and
+        H/8 - 8 >= 1 (the capsule grid after the 9x9 VALID convs);
+        the reference shape is H = W = 224 (grid 20x20)."""
         P = self.pose_size
         psize = P * P
         caps = self.num_classes
         dt = self.compute_dtype
+        B_in, T_in, H_in, W_in = img.shape[:4]
+        assert T_in == 8, "the I3D/decoder temporal schedule requires T=8"
 
         x, cross56, cross112 = InceptionI3d(
             final_endpoint="Mixed_4f", name="conv1", compute_dtype=dt
@@ -165,7 +171,8 @@ class CapsNet(nn.Module):
         x = Dropout3d(self.dropout_rate, name="drop_enc")(x, deterministic=not train)
 
         b = x.shape[0]
-        x = x.reshape(b, 28, 28, 832)  # T=1 at Mixed_4f
+        h28, w28 = H_in // 8, W_in // 8  # 28x28 at the reference size
+        x = x.reshape(b, h28, w28, 832)  # T=1 at Mixed_4f
         cross28 = x
         x = PrimaryCaps(32, P, 9, compute_dtype=dt, name="primary_caps")(x)
         # caps_reorder (ref :399-410) is an effective identity for this
@@ -225,9 +232,11 @@ class CapsNet(nn.Module):
 
         # upsample1: ConvT2d 384->64 k9 s1 p0: 20x20 -> 28x28
         x = relu(ct("upsample1", poses, ranges, 64, 9, 1, 0, 0, nd=2))
-        x = x.reshape(b, 1, 28, 28, 64)
+        x = x.reshape(b, 1, h28, w28, 64)
 
-        c28 = relu(conv("conv28", cross28, 832, 64, 3, nd=2)).reshape(b, 1, 28, 28, 64)
+        c28 = relu(conv("conv28", cross28, 832, 64, 3, nd=2)).reshape(
+            b, 1, h28, w28, 64
+        )
         x = jnp.concatenate([x, c28], axis=-1)  # (B, 1, 28, 28, 128)
 
         # upsample2/3: ConvT3d k3 s2 p1 op1 — exact 2x in each dim
@@ -244,5 +253,5 @@ class CapsNet(nn.Module):
         # smooth: ConvT3d 128->1 k3 s1 p1 — same-size
         x = ct("smooth", x, 128, 1, 3, 1, 1, 0, nd=3)
 
-        seg_logits = x.reshape(b, 8, 224, 224).astype(jnp.float32)
+        seg_logits = x.reshape(b, 8, H_in, W_in).astype(jnp.float32)
         return seg_logits, class_scores.astype(jnp.float32), feat

@@ -113,7 +113,6 @@ class Unit3D(nn.Module):
             w.astype(self.compute_dtype),
             stride=tuple(self.stride),
             padding="SAME",
-            preferred_dtype=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)

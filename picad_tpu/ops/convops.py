@@ -69,9 +69,13 @@ def conv_nd(
     stride,
     padding,
     *,
-    preferred_dtype=jnp.float32,
+    preferred_dtype=None,
 ) -> jax.Array:
     """N-d convolution, channels-last.
+
+    preferred_dtype=None inherits the input dtype (bf16 compute stays bf16
+    end-to-end, which keeps the VJP dtypes consistent); pass jnp.float32
+    explicitly for f32 accumulation into an f32 output.
 
     x: (B, *spatial, Cin); kernel: (*spatial, Cin, Cout).
     padding: 'SAME' (TF rule above), 'VALID', int, per-dim int, or explicit
@@ -106,7 +110,7 @@ def conv_transpose_nd(
     padding,
     output_padding=0,
     *,
-    preferred_dtype=jnp.float32,
+    preferred_dtype=None,
 ) -> jax.Array:
     """PyTorch-semantics transposed convolution, channels-last.
 

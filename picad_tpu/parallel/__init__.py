@@ -1,0 +1,8 @@
+"""Device-mesh parallelism helpers."""
+
+from picad_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+)

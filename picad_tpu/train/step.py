@@ -1,0 +1,275 @@
+"""The jitted semi-supervised train step and the validation step.
+
+One XLA program per optimizer step — both forwards (original + flipped
+clips), the supervised and consistency losses, both attentive masks, the
+backward pass, and the Adam update all fuse into a single device
+execution with no host round-trips (the reference's hot loop crosses
+host<->device at least three times per step: H2D copies at
+main_ucf101.py:52-62 and numpy mask computation in utils/helpers.py).
+
+Loss assembly mirrors train_model_interface (main_ucf101.py:50-150):
+
+- supervised BCE + Dice segmentation losses and the SpreadLoss
+  classification loss over *labeled rows only* — the reference gathers
+  rows by index (:89-97); we use masked reductions (identical values,
+  static shapes);
+- the consistency term compares the original forward with the flipped
+  forward flipped back (:100), weighted by:
+    * all-ones (plain L2, :105-107),
+    * temporal cyclic-variance masks in both directions (`--bv`,
+      :112-124), ramped against plain L2 by `wt_ramp`,
+    * the gradient-smoothness mask (`--gv`, :129-134) — including the
+      reference's (B, B, ...) broadcast (losses.weighted_mse_outer);
+- consistency applies to ALL rows, labeled included (:100-148);
+- total = wt_loc * loc + wt_cls * cls + wt_cons * cons (:148).
+
+BatchNorm batch statistics: by default the two forwards update running
+stats sequentially, each normalizing by its own B-row batch (exactly the
+reference's two model() calls).  `fold_flip=True` concatenates both views
+into one 2B forward — fewer launches, bigger MXU batches — at the cost of
+BN statistics pooled over both views (documented deviation; opt-in).
+
+Both `epoch` and `wt_ramp` are traced scalars, so no retrace across
+epochs; the pseudo-label epoch gate is a `jnp.where` inside the model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from picad_tpu.config import LossConfig
+from picad_tpu.objectives.losses import (
+    bce_with_logits,
+    spread_loss,
+    weighted_mse_outer,
+)
+from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
+
+
+def _masked_bce(logits, targets, row_mask):
+    """BCEWithLogitsLoss over rows where row_mask == 1."""
+    x, z = logits, targets
+    elem = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    m = row_mask.reshape(-1, *([1] * (elem.ndim - 1)))
+    per_elem = elem.size // elem.shape[0]
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per_elem
+    return jnp.sum(elem * m) / denom
+
+
+def _masked_dice(logits, targets, row_mask, smooth=1.0):
+    """DiceLoss over the flattened labeled rows (losses.py:40-57)."""
+    p = jax.nn.sigmoid(logits)
+    m = row_mask.reshape(-1, *([1] * (logits.ndim - 1)))
+    inter = jnp.sum(p * targets * m)
+    dice = (2.0 * inter + smooth) / (
+        jnp.sum(p * m) + jnp.sum(targets * m) + smooth
+    )
+    return 1.0 - dice
+
+
+def _masked_iou(logits, targets, row_mask, smooth=1.0):
+    p = jax.nn.sigmoid(logits)
+    m = row_mask.reshape(-1, *([1] * (logits.ndim - 1)))
+    inter = jnp.sum(p * targets * m)
+    union = jnp.sum(p * m) + jnp.sum(targets * m) - inter
+    return 1.0 - (inter + smooth) / (union + smooth)
+
+
+def _masked_spread(scores, labels, row_mask, m_min=0.2, m_max=0.9):
+    """SpreadLoss over labeled rows (losses.py:14-37 incl. double /b)."""
+    b, E = scores.shape
+    margin = m_min + (m_max - m_min) * 0.0
+    at = jnp.take_along_axis(scores, labels.reshape(b, 1), axis=1)
+    per = jnp.maximum(margin - (at - scores), 0.0) ** 2  # (B, E)
+    n = jnp.maximum(jnp.sum(row_mask), 1.0)
+    loss = jnp.sum(per * row_mask[:, None]) / n - margin**2
+    return loss / n
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    *,
+    fold_flip: bool = False,
+):
+    """Build the (unjitted) train step; caller jits with shardings."""
+
+    thresh_epoch = loss_cfg.thresh_epoch
+    loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
+    if loss_cfg.const_loss != "l2":
+        raise NotImplementedError(
+            f"consistency '{loss_cfg.const_loss}': the reference gates jsd/l1"
+            " but every published config uses l2; matching that."
+        )
+
+    def forward(params, stats, data, action, flags, epoch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            data,
+            action,
+            flags,
+            epoch,
+            thresh_epoch,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return out, mutated["batch_stats"]
+
+    def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2):
+        data = batch["data"]
+        aug = batch["aug_data"]
+        action = batch["action"].astype(jnp.int32)
+        seg_gt = batch["loc_msk"][..., 0]  # (B, 8, H, W)
+        flags = batch["label_vid"].astype(jnp.float32)
+        lm = flags  # 1.0 for labeled rows
+
+        if fold_flip:
+            both = jnp.concatenate([data, aug], axis=0)
+            action2 = jnp.concatenate([action, action], axis=0)
+            flags2 = jnp.concatenate([flags, flags], axis=0)
+            (seg_all, scores_all, _), stats = forward(
+                params, stats, both, action2, flags2, epoch, rng1
+            )
+            b = data.shape[0]
+            output, flip_op = seg_all[:b], seg_all[b:]
+            scores = scores_all[:b]
+        else:
+            (output, scores, _), stats = forward(
+                params, stats, data, action, flags, epoch, rng1
+            )
+            (flip_op, _, _), stats = forward(
+                params, stats, aug, action, flags, epoch, rng2
+            )
+
+        # ---- supervised ----
+        loc1 = _masked_bce(output, seg_gt, lm)
+        loc2 = loc_loss_fn(output, seg_gt, lm)
+        loc_loss = loc1 + loc2
+        cls_loss = _masked_spread(
+            scores, action, lm, loss_cfg.spread_m_min, loss_cfg.spread_m_max
+        )
+
+        # ---- consistency (all rows) ----
+        flipped_pred = jnp.flip(flip_op, axis=3)  # undo spatial flip
+        diff_sq = (flipped_pred - output) ** 2
+        loss_simple_l2 = jnp.mean(diff_sq)
+
+        cons = None
+        if loss_cfg.bv:
+            sg = jax.lax.stop_gradient
+            clck = pixelwise_cyclic_variance(
+                sg(output),
+                sg(jnp.flip(flipped_pred, axis=1)),
+                window=loss_cfg.n_frames,
+                use_sigmoid=loss_cfg.predict_maps,
+            )
+            anticlck = pixelwise_cyclic_variance(
+                sg(jnp.flip(output, axis=1)),
+                sg(flipped_pred),
+                window=loss_cfg.n_frames,
+                use_sigmoid=loss_cfg.predict_maps,
+            )
+            loss_var_1 = jnp.mean(clck * diff_sq)
+            loss_var_2 = jnp.mean(jnp.flip(anticlck, axis=1) * diff_sq)
+            cons_bv = wt_ramp * (loss_var_1 + loss_var_2) + (
+                1.0 - wt_ramp
+            ) * loss_simple_l2
+            cons = cons_bv
+        if loss_cfg.gv:
+            grad_w = jax.lax.stop_gradient(
+                pixelwise_gradient(
+                    output,
+                    conf_thresh_lower=loss_cfg.lower_thresh,
+                    conf_thresh_upper=loss_cfg.upper_thresh,
+                )
+            )
+            cons_gv = weighted_mse_outer(flipped_pred, output, grad_w)
+            if loss_cfg.bv:
+                cons = loss_cfg.bv_wt * cons_bv + loss_cfg.gv_wt * cons_gv
+            else:
+                cons = cons_gv
+        if cons is None:
+            cons = loss_simple_l2
+
+        total = (
+            loss_cfg.wt_loc * loc_loss
+            + loss_cfg.wt_cls * cls_loss
+            + loss_cfg.wt_cons * cons
+        )
+        acc = jnp.mean(
+            (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(jnp.float32)
+        )
+        metrics = {
+            "loss": total,
+            "loss_seg": loc_loss,
+            "loss_cls": cls_loss,
+            "loss_consistency": cons,
+            "acc": acc,
+        }
+        return total, (stats, metrics)
+
+    def train_step(state, batch, epoch, wt_ramp):
+        rng, rng1, rng2 = jax.random.split(state.rng, 3)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, epoch, wt_ramp, rng1, rng2
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_val_step(model, loss_cfg: LossConfig):
+    """Validation step (val_model_interface, main_ucf101.py:33-47):
+    eval-mode forward, losses over all rows, binarized masks for IoU."""
+
+    loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
+
+    def val_step(state, batch):
+        data = batch["data"]
+        action = batch["action"].astype(jnp.int32)
+        seg_gt = batch["loc_msk"][..., 0]
+        b = data.shape[0]
+        ones = jnp.ones((b,), jnp.float32)
+
+        seg, scores, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            data,
+            action,
+            jnp.zeros((b,), jnp.float32),
+            0,
+            0,
+            False,
+        )
+        cls_loss = _masked_spread(
+            scores, action, ones, loss_cfg.spread_m_min, loss_cfg.spread_m_max
+        )
+        loc = _masked_bce(seg, seg_gt, ones) + loc_loss_fn(seg, seg_gt, ones)
+        total = loc + cls_loss
+        acc = jnp.mean(
+            (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(jnp.float32)
+        )
+        # binarize at logits > 0 like main_ucf101.py:255-256
+        seg_bin = (seg > 0).astype(jnp.float32)
+        metrics = {"loss": total, "loss_seg": loc, "loss_cls": cls_loss, "acc": acc}
+        return seg_bin, metrics
+
+    return val_step
