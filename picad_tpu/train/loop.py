@@ -239,6 +239,6 @@ class Trainer:
             if self.best_train.maybe_save(e, train_loss, host_state):
                 print("Yay!!! Got the train loss down...")
             new_lr = self.scheduler.step(train_loss)
-            if abs(new_lr - self.state.learning_rate()) > 1e-12:
+            if abs(new_lr - self.state.learning_rate()) > 1e-6 * new_lr:
                 self.state = self.state.with_learning_rate(new_lr)
                 print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}")
