@@ -54,6 +54,7 @@ class ClipDataset:
         vskip: int = 2,
         with_validity: bool = False,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.source = source
         self.train = train
@@ -63,6 +64,12 @@ class ClipDataset:
         self.with_validity = with_validity
         self.seed = seed
         self._epoch = 0
+        if use_native:
+            from picad_tpu.data import _native
+
+            self._native = _native if _native.available() else None
+        else:
+            self._native = None
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -118,39 +125,50 @@ class ClipDataset:
             return self._zero_sample()
 
         span = np.arange(depth) * vskip + start
-        video = rec.video[span]
-        mask = rec.mask[span]
 
         y, x = _center_or_random_crop(
             clip_h, clip_w, self.height, self.width, self.train, rng
         )
-        video = video[:, y : y + self.height, x : x + self.width, :]
-        mask = mask[:, y : y + self.height, x : x + self.width, :]
 
-        data = video.astype(np.float32) / 255.0
-        loc = np.zeros((depth, self.height, self.width, 1), dtype=np.float32)
-        validity = np.zeros_like(loc)
-        annot_set = set(int(f) for f in annot_frames)
-        for j in range(depth):
-            frame_ok = True
-            if self.with_validity:
-                if vskip == 2:
-                    frame_ok = (span[j] in annot_set) or (span[j] + 1 in annot_set)
-                else:
-                    frame_ok = span[j] in annot_set
-            if frame_ok:
-                loc[j, mask[j, :, :, 0] > 0, 0] = 1.0
-                validity[j] = 1.0
+        # per-frame validity (JHMDB mask_cls rule, jhmdb_dataloader.py:196-210;
+        # all frames valid for UCF)
+        if self.with_validity:
+            annot_set = set(int(f) for f in annot_frames)
+            if vskip == 2:
+                valid = np.array(
+                    [(s in annot_set) or (s + 1 in annot_set) for s in span],
+                    dtype=np.uint8,
+                )
+            else:
+                valid = np.array([s in annot_set for s in span], dtype=np.uint8)
+        else:
+            valid = np.ones((depth,), dtype=np.uint8)
+
+        if self._native is not None and rec.video.dtype == np.uint8:
+            data, aug, loc = self._native.assemble_clip(
+                rec.video, rec.mask, span, valid, y, x, self.height, self.width
+            )
+        else:
+            video = rec.video[span, y : y + self.height, x : x + self.width, :]
+            mask = rec.mask[span, y : y + self.height, x : x + self.width, :]
+            data = (video.astype(np.float32) / 255.0).astype(np.float32)
+            aug = np.ascontiguousarray(data[:, :, ::-1, :])
+            loc = ((mask > 0) & valid[:, None, None, None].astype(bool)).astype(
+                np.float32
+            )
 
         sample = {
             "data": data,
-            "aug_data": np.ascontiguousarray(data[:, :, ::-1, :]),
+            "aug_data": aug,
             "loc_msk": loc,
             "action": np.int32(rec.label),
             "label_vid": np.int32(rec.labeled),
         }
         if self.with_validity:
-            sample["mask_cls"] = validity
+            sample["mask_cls"] = np.broadcast_to(
+                valid.astype(np.float32)[:, None, None, None],
+                (depth, self.height, self.width, 1),
+            ).copy()
         return sample
 
 
