@@ -21,3 +21,22 @@ matmuls with f32 accumulation, and data parallelism over a
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the CapsNet train step is a large
+# program (~minutes to compile cold); caching makes reruns start in
+# seconds.  Opt out with PICAD_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PICAD_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "picad_tpu_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+

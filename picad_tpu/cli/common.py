@@ -72,6 +72,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural data backend (hermetic runs)")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--resume", type=str, default="",
+                   help="path to a full-train-state checkpoint to resume from")
     return p
 
 

@@ -29,7 +29,8 @@ def main(argv=None):
         val_dataset=val,
         use_wandb=args.wandb,
     )
-    trainer.fit()
+    start_epoch = trainer.restore(args.resume) if args.resume else 1
+    trainer.fit(start_epoch)
 
 
 if __name__ == "__main__":

@@ -229,10 +229,24 @@ class Trainer:
         )
         return val_loss
 
-    def fit(self) -> None:
-        for e in range(1, self.cfg.epochs + 1):
+    def restore(self, path: str) -> int:
+        """Resume from a full-train-state checkpoint (the reference has no
+        resume — its .pth files hold bare params, main_ucf101.py:439-455).
+        Returns the next epoch to run."""
+        template = jax.device_get(self.state)
+        restored = self.best_val.io.restore(path, template)
+        self.state = jax.device_put(restored, self.replicated)
+        next_epoch = int(restored.epoch) + 1
+        print(f"Resumed from {path} at epoch {next_epoch}")
+        return next_epoch
+
+    def fit(self, start_epoch: int = 1) -> None:
+        for e in range(start_epoch, self.cfg.epochs + 1):
             train_loss = self.train_epoch(e)
             val_loss = self.validate(e)
+            self.state = self.state.replace(
+                epoch=jax.numpy.asarray(e, jax.numpy.int32)
+            )
             host_state = jax.device_get(self.state)
             if self.best_val.maybe_save(e, val_loss, host_state):
                 print("Yay!!! Got the val loss down...")

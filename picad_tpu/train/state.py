@@ -17,6 +17,7 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+    epoch: jax.Array  # last completed epoch (for resume)
 
     def learning_rate(self) -> float:
         return float(self.opt_state.hyperparams["learning_rate"])
@@ -56,4 +57,5 @@ def create_train_state(
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         rng=state_rng,
+        epoch=jnp.zeros((), jnp.int32),
     )
