@@ -72,13 +72,18 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, epoch, ramp)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # force completion (D2H fetch)
 
     t0 = time.perf_counter()
+    all_metrics = []
     for _ in range(MEASURE_STEPS):
         state, metrics = train_step(state, batch, epoch, ramp)
-    jax.block_until_ready(metrics)
+        all_metrics.append(metrics["loss"])
+    # Force real completion of the whole chain with value fetches —
+    # block_until_ready alone has proven unreliable on tunneled backends.
+    all_metrics = [float(v) for v in all_metrics]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(all_metrics)), all_metrics
 
     clips_per_sec = MEASURE_STEPS * BS / dt
     per_chip = clips_per_sec / n_chips
