@@ -32,6 +32,7 @@ def main(argv=None):
     p.add_argument("--clip_batch_size", type=int, default=14)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_prune", action="store_true")
+    p.add_argument("--log_predictions", action="store_true")
     args = p.parse_args(argv)
 
     model = CapsNet(num_classes=21)
@@ -46,7 +47,7 @@ def main(argv=None):
             args.data_root,
             args.mask_root,
         )
-    dataset = EvalVideoDataset(source)
+    dataset = EvalVideoDataset(source, return_name=True)
     sweep_checkpoints(
         model,
         template,
@@ -56,6 +57,7 @@ def main(argv=None):
         n_classes=21,
         clip_batch_size=args.clip_batch_size,
         prune=not args.no_prune,
+        log_predictions=args.log_predictions,
     )
 
 

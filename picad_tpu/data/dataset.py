@@ -200,7 +200,7 @@ class EvalVideoDataset:
         ) / 255.0
         mask = rec.mask[:, y : y + self.height, x : x + self.width, :]
         if self.return_name:
-            return video, mask, rec.label, getattr(rec, "name", str(index))
+            return video, mask, rec.label, rec.name or str(index)
         return video, mask, rec.label
 
     def __iter__(self):

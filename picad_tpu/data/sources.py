@@ -51,6 +51,7 @@ class VideoRecord:
     label: int
     annot_frames: np.ndarray  # frame ids that carry annotation
     labeled: int  # 1 = labeled subset, 0 = unlabeled
+    name: str = ""  # video identifier (for eval logging)
 
 
 def rasterize_boxes(
@@ -173,7 +174,9 @@ class UCFVideoSource:
             idx = self.rng.integers(0, len(anns)) if len(anns) > 1 else 0
             anns = [anns[idx]]
         mask, label, labeled, keyframes = rasterize_boxes(n, h, w, anns)
-        return VideoRecord(video, mask, label, np.asarray(keyframes), labeled)
+        return VideoRecord(
+            video, mask, label, np.asarray(keyframes), labeled, name=v_name
+        )
 
 
 class JHMDBVideoSource:
@@ -220,7 +223,7 @@ class JHMDBVideoSource:
         )[..., None].astype(np.uint8)
         label = JHMDB_CLASSES.index(name.split("/")[0])
         annot_frames = np.arange(mask.shape[0])
-        return VideoRecord(vid256, mask, label, annot_frames, labeled=1)
+        return VideoRecord(vid256, mask, label, annot_frames, labeled=1, name=name)
 
 
 class SyntheticVideoSource:
@@ -270,4 +273,6 @@ class SyntheticVideoSource:
         label = int(rng.integers(0, self.num_classes))
         labeled = int(rng.uniform() < self.labeled_fraction)
         annot_frames = np.arange(2, F - 2, 4)
-        return VideoRecord(video, mask, label, annot_frames, labeled)
+        return VideoRecord(
+            video, mask, label, annot_frames, labeled, name=f"synthetic/{index}"
+        )

@@ -94,6 +94,7 @@ def evaluate_dataset(
     clip_batch_size: int = 14,
     seg_threshold: float = 0.5,
     verbose: bool = False,
+    prediction_log: list | None = None,
 ) -> dict:
     """Run the full protocol.
 
@@ -129,6 +130,12 @@ def evaluate_dataset(
         scores = np.concatenate(score_chunks, axis=0)  # (N, C)
 
         pred_label = int(np.argmax(np.mean(scores, axis=0)))
+        if prediction_log is not None:
+            name = sample[3] if len(sample) > 3 else None
+            prediction_log.append(
+                {"video": name, "label": label, "pred": pred_label,
+                 "correct": pred_label == label}
+            )
         pred_seg = (seg >= seg_threshold).astype(np.int64)
         pred_seg = pred_seg.reshape(-1, *pred_seg.shape[2:])[..., None]
         gt_seg = clip_masks.reshape(-1, *clip_masks.shape[2:4], 1).astype(np.int64)

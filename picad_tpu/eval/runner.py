@@ -76,8 +76,14 @@ def sweep_checkpoints(
     n_classes: int = 24,
     clip_batch_size: int = 14,
     prune: bool = True,
+    log_predictions: bool = False,
 ) -> dict:
-    """Evaluate every matching checkpoint; prune to the two best."""
+    """Evaluate every matching checkpoint; prune to the two best.
+
+    log_predictions writes correct_pred.txt / incorrect_pred.txt with
+    per-video outcomes — the working version of the reference's dead
+    logging code (evaluate_jhmdb.py:144-147 writes to never-opened
+    handles)."""
     from picad_tpu.checkpoint.manager import CheckpointIO
 
     io = CheckpointIO()
@@ -90,10 +96,26 @@ def sweep_checkpoints(
         forward = make_padded_forward(
             model, variables, clip_batch_size=clip_batch_size
         )
+        pred_log = [] if log_predictions else None
         summary = evaluate_dataset(
             forward, dataset, n_classes=n_classes,
             clip_batch_size=clip_batch_size, verbose=True,
+            prediction_log=pred_log,
         )
+        if pred_log is not None:
+            tag = os.path.basename(path)
+            for fname, want in (
+                ("correct_pred", True), ("incorrect_pred", False)
+            ):
+                with open(
+                    os.path.join(ckpt_dir, f"{fname}_{tag}.txt"), "w"
+                ) as f:
+                    for rec in pred_log:
+                        if rec["correct"] == want:
+                            f.write(
+                                f"{rec['video']} label={rec['label']} "
+                                f"pred={rec['pred']}\n"
+                            )
         results[path] = summary
         names.append(path)
         fmap_best.append(summary["fmAP@0.5"])
