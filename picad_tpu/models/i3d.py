@@ -28,7 +28,9 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from picad_tpu.models.layers import Unit3D
+import jax
+
+from picad_tpu.models.layers import TorchBatchNorm, Unit3D
 from picad_tpu.ops.convops import max_pool_same_zero_pad
 
 # Endpoint construction order and specs (reference :221-296).
@@ -71,6 +73,56 @@ _POOL_SPECS = {
 }
 
 
+class StemS2D(nn.Module):
+    """Conv3d_1a_7x7 via space-to-depth: 7^3/s2 conv on 3 channels becomes a
+    4^3/s1 conv on 24 channels.
+
+    The naive stem is the slowest conv in the profile: Cin=3 leaves the MXU
+    contraction dim ~2% utilized and the (…, 3) layout wastes vector lanes.
+    Packing 2x2x2 spatial blocks into channels makes the contraction
+    4*4*4*24 = 1536 deep with lane-friendly channel counts — identical
+    arithmetic (the kernel is zero-padded 7->8 and re-indexed), ~4x faster.
+
+    Derivation: out[o] = sum_k x[2o + k - 2] w[k] with SAME pads (2,3);
+    splitting x by parity p and k = 2j + p gives a stride-1 kernel-4 conv
+    with pads (1,2) per dim.  Param shapes match Unit3D ('kernel'
+    (7,7,7,3,64), bn submodule) so converted checkpoints load unchanged.
+    """
+
+    features: int = 64
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from picad_tpu.ops.convops import conv_nd
+
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 7, cin, self.features),
+            jnp.float32,
+        )
+        B, T, H, W, C = x.shape
+        assert T % 2 == 0 and H % 2 == 0 and W % 2 == 0, (T, H, W)
+        dt = self.compute_dtype
+        xc = x.astype(dt)
+        # pack 2x2x2 blocks into channels: (B, T/2, H/2, W/2, 8*C)
+        xp = xc.reshape(B, T // 2, 2, H // 2, 2, W // 2, 2, C)
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            B, T // 2, H // 2, W // 2, 8 * C
+        )
+        # kernel: pad 7->8, split parity: (4,4,4, 8*C, F)
+        wp = jnp.pad(w.astype(dt), ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+        wp = wp.reshape(4, 2, 4, 2, 4, 2, C, self.features)
+        wp = wp.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
+            4, 4, 4, 8 * C, self.features
+        )
+        y = conv_nd(xp, wp, 1, [(1, 2), (1, 2), (1, 2)])
+        y = TorchBatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y)
+
+
 class InceptionModule(nn.Module):
     """4-branch inception block (reference :124-149).
 
@@ -100,17 +152,22 @@ class InceptionI3d(nn.Module):
 
     final_endpoint: str = "Mixed_4f"
     compute_dtype: Any = jnp.float32
+    s2d_stem: bool = True  # space-to-depth first conv (see StemS2D)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.final_endpoint in VALID_ENDPOINTS, self.final_endpoint
         dt = self.compute_dtype
         out56 = out112 = None
+        even = all(d % 2 == 0 for d in x.shape[1:4])
         for ep in VALID_ENDPOINTS:
             if ep == "Conv3d_1a_7x7":
-                x = Unit3D(64, (7, 7, 7), (2, 2, 2), name=ep, compute_dtype=dt)(
-                    x, train
-                )
+                if self.s2d_stem and even:
+                    x = StemS2D(64, name=ep, compute_dtype=dt)(x, train)
+                else:
+                    x = Unit3D(
+                        64, (7, 7, 7), (2, 2, 2), name=ep, compute_dtype=dt
+                    )(x, train)
                 out112 = x
             elif ep == "Conv3d_2b_1x1":
                 x = Unit3D(64, (1, 1, 1), name=ep, compute_dtype=dt)(x, train)
