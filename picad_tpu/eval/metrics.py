@@ -24,6 +24,16 @@ def accuracy_jnp(class_scores, labels):
     return jnp.mean((pred == labels.reshape(-1)).astype(jnp.float32))
 
 
+def get_accuracy2(predictions, targets, threshold: float = 0.5) -> float:
+    """Pixel 'f-measure' accuracy (tp+tn)/(all) at a threshold
+    (reference utils/metrics.py:16-25)."""
+    p = np.asarray(predictions) > threshold
+    t = np.asarray(targets).astype(bool)
+    tp = np.sum(p & t)
+    tn = np.sum(~p & ~t)
+    return float((tp + tn) / p.size)
+
+
 def binary_mask_iou(gt, pred) -> float:
     """Binary-mask IoU; NaN when gt is empty (reference IOU2, metrics.py:171-193).
 

@@ -87,14 +87,31 @@ class PrimaryCaps(nn.Module):
 
 
 class ConvCaps(nn.Module):
-    """1x1 matrix-capsule layer with EM routing (ref :52-331, K=(1,1))."""
+    """Matrix-capsule layer with EM routing (ref :52-331).
+
+    Three modes, mirroring the reference class:
+    - K=(1,1) convolutional (the mode CapsNet uses): pure reshape, one
+      vote einsum, EM routing per spatial position.
+    - general K convolutional: KxK patches of capsules route jointly.
+      (The reference's generic-K path is dead code whose permute+view at
+      :228,:301 scrambles the patch axis order; we implement the correct
+      patch semantics instead of replicating that latent bug.)
+    - `w_shared` "class caps" (ref :310-329): all h*w positions share one
+      transformation matrix per capsule type, optional scaled coordinate
+      addition (ref add_coord :270-288), and the layer returns only the C
+      output activations.
+    """
 
     in_caps: int = 32  # B
     out_caps: int = 24  # C
     pose_size: int = 4  # P
+    kernel: tuple = (1, 1)
+    stride: tuple = (1, 1)
     iters: int = 3
     eps: float = 1e-8
     lam: float = 1e-6
+    coor_add: bool = False
+    w_shared: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, B_caps*(psize+1))
@@ -106,31 +123,89 @@ class ConvCaps(nn.Module):
 
         beta_u = self.param("beta_u", nn.initializers.normal(1.0), (C, psize))
         beta_a = self.param("beta_a", nn.initializers.normal(1.0), (C,))
-        weights = self.param("weights", nn.initializers.normal(1.0), (Bi, C, P, P))
 
-        pose = x[..., : Bi * psize].reshape(b * h * w, Bi, P, P)
-        act = x[..., Bi * psize :].reshape(b * h * w, Bi, 1)
+        def routed_votes(pose, act, weights, coords=None):
+            """pose (n, Bi', P, P), act (n, Bi', 1) -> (mu, a_out)."""
+            v = jnp.einsum(
+                "nipq,ijqr->nijpr",
+                pose.astype(jnp.float32),
+                weights.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).reshape(pose.shape[0], pose.shape[1], C, psize)
+            if coords is not None:
+                v = v + coords
+            return em_routing(
+                v, act.astype(jnp.float32), beta_u, beta_a,
+                iters=self.iters, eps=self.eps, lam=self.lam,
+            )
 
-        # Votes: v[n, i, j] = pose[n, i] @ W[i, j]  (ref transform_view :247-268)
+        if not self.w_shared:
+            K0, K1 = self.kernel
+            s0, s1 = self.stride
+            weights = self.param(
+                "weights", nn.initializers.normal(1.0), (K0 * K1 * Bi, C, P, P)
+            ) if (K0, K1) != (1, 1) else self.param(
+                "weights", nn.initializers.normal(1.0), (Bi, C, P, P)
+            )
+            if (K0, K1) == (1, 1):
+                pose = x[..., : Bi * psize].reshape(b * h * w, Bi, P, P)
+                act = x[..., Bi * psize :].reshape(b * h * w, Bi, 1)
+                oh, ow = h, w
+            else:
+                oh = (h - K0) // s0 + 1
+                ow = (w - K1) // s1 + 1
+                patches = jnp.stack(
+                    [
+                        x[:, i : i + s0 * oh : s0, j : j + s1 * ow : s1, :]
+                        for i in range(K0)
+                        for j in range(K1)
+                    ],
+                    axis=3,
+                )  # (b, oh, ow, K0*K1, c)
+                pose = patches[..., : Bi * psize].reshape(
+                    b * oh * ow, K0 * K1 * Bi, P, P
+                )
+                act = patches[..., Bi * psize :].reshape(
+                    b * oh * ow, K0 * K1 * Bi, 1
+                )
+            mu, a_out = routed_votes(pose, act, weights)
+            p_out = mu.reshape(b, oh, ow, C * psize)
+            a_out = a_out.reshape(b, oh, ow, C)
+            return jnp.concatenate([p_out, a_out], axis=-1)
+
+        # ---- class-caps mode (w_shared) ----
+        weights = self.param(
+            "weights", nn.initializers.normal(1.0), (Bi, C, P, P)
+        )
+        # (b, h*w, Bi, P, P): one shared W per capsule type across positions
+        pose = x[..., : Bi * psize].reshape(b, h * w, Bi, P, P)
+        act = x[..., Bi * psize :].reshape(b, h * w * Bi, 1)
+        coords = None
+        if self.coor_add:
+            # ref add_coord :270-288: vote entry 0 += i/h, entry 1 += j/w
+            coord = jnp.zeros((h, w, psize), jnp.float32)
+            coord = coord.at[:, :, 0].add(
+                (jnp.arange(h, dtype=jnp.float32) / h)[:, None]
+            )
+            coord = coord.at[:, :, 1].add(
+                (jnp.arange(w, dtype=jnp.float32) / w)[None, :]
+            )
+            coords = jnp.broadcast_to(
+                coord.reshape(1, h * w, 1, 1, psize), (b, h * w, Bi, C, psize)
+            ).reshape(b, h * w * Bi, C, psize)
         v = jnp.einsum(
-            "nipq,ijqr->nijpr",
+            "nsipq,ijqr->nsijpr",
             pose.astype(jnp.float32),
             weights.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        ).reshape(b * h * w, Bi, C, psize)
-
-        mu, a_out = em_routing(
-            v,
-            act.astype(jnp.float32),
-            beta_u,
-            beta_a,
-            iters=self.iters,
-            eps=self.eps,
-            lam=self.lam,
+        ).reshape(b, h * w * Bi, C, psize)
+        if coords is not None:
+            v = v + coords
+        _, a_out = em_routing(
+            v, act.astype(jnp.float32), beta_u, beta_a,
+            iters=self.iters, eps=self.eps, lam=self.lam,
         )
-        p_out = mu.reshape(b, h, w, C * psize)
-        a_out = a_out.reshape(b, h, w, C)
-        return jnp.concatenate([p_out, a_out], axis=-1)
+        return a_out  # (B, C)
 
 
 class CapsNet(nn.Module):

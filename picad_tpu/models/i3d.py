@@ -147,16 +147,66 @@ class InceptionModule(nn.Module):
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
+class I3DLogitsHead(nn.Module):
+    """Classification head for the full I3D (reference :298-321): avg-pool
+    (2,7,7)/s1 + dropout + 1x1x1 conv with bias, no BN/act; time-averaged,
+    spatially squeezed logits."""
+
+    num_classes: int = 400
+    dropout_rate: float = 0.5
+    spatial_squeeze: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from jax import lax
+
+        x = lax.reduce_window(
+            x,
+            0.0,
+            lax.add,
+            window_dimensions=(1, 2, 7, 7, 1),
+            window_strides=(1, 1, 1, 1, 1),
+            padding="VALID",
+        ) / (2 * 7 * 7)
+        if train and self.dropout_rate > 0:
+            rng = self.make_rng("dropout")
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(rng, keep, x.shape)
+            x = jnp.where(mask, x / keep, 0.0)
+        x = Unit3D(
+            self.num_classes,
+            (1, 1, 1),
+            use_batch_norm=False,
+            use_bias=True,
+            activation=None,
+            name="logits",
+            compute_dtype=self.compute_dtype,
+        )(x, train)
+        if self.spatial_squeeze:
+            x = x.squeeze(axis=(2, 3))  # (B, T', C)
+        return x
+
+
 class InceptionI3d(nn.Module):
-    """I3D encoder up to `final_endpoint`, returning multi-scale skips."""
+    """I3D encoder up to `final_endpoint`, returning multi-scale skips.
+
+    With final_endpoint='Logits' the full Kinetics-style classifier is
+    built (reference :298-321, replace_logits :313-321 == re-init with a
+    different `num_classes`); `extract_features` (reference :349-353)
+    corresponds to final_endpoint='Mixed_5c' + the head's average pool.
+    """
 
     final_endpoint: str = "Mixed_4f"
+    num_classes: int = 400
     compute_dtype: Any = jnp.float32
     s2d_stem: bool = True  # space-to-depth first conv (see StemS2D)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert self.final_endpoint in VALID_ENDPOINTS, self.final_endpoint
+        assert self.final_endpoint in VALID_ENDPOINTS + ("Logits",), (
+            self.final_endpoint
+        )
         dt = self.compute_dtype
         out56 = out112 = None
         even = all(d % 2 == 0 for d in x.shape[1:4])
@@ -185,4 +235,8 @@ class InceptionI3d(nn.Module):
                 )(x, train)
             if ep == self.final_endpoint:
                 break
+        if self.final_endpoint == "Logits":
+            x = I3DLogitsHead(
+                self.num_classes, compute_dtype=dt, name="head"
+            )(x, train)
         return x, out56, out112
