@@ -36,7 +36,11 @@ import jax.numpy as jnp
 
 from picad_tpu.models.i3d import InceptionI3d
 from picad_tpu.models.layers import Dropout3d
-from picad_tpu.ops.convops import conv_nd, conv_transpose_nd
+from picad_tpu.ops.convops import (
+    conv_nd,
+    conv_transpose_nd,
+    conv_transpose_single_channel,
+)
 from picad_tpu.ops.em_routing import em_routing
 
 
@@ -325,14 +329,12 @@ class CapsNet(nn.Module):
 
         x = ct("upsample4", x, 128, 128, 3, 2, 1, 1, nd=3)  # (B,8,224,224,128)
         x = Dropout3d(self.dropout_rate, name="drop_dec")(x, deterministic=not train)
-        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  A 1-channel output
-        # leaves 127/128 vector lanes idle (the single slowest op in the
-        # profile, fwd+bwd); zero-padding the kernel to 8 output channels
-        # and slicing channel 0 computes the identical value ~8x faster.
+        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  Computed via the
+        # matmul + shift-add fast path (see conv_transpose_single_channel);
+        # a direct 1-channel conv was the slowest op in the step profile.
         sk = self.param("smooth_kernel", _normal(0.02), (3, 3, 3, 128, 1))
         sb = self.param("smooth_bias", _torch_conv_uniform(1 * 27), (1,))
-        sk8 = jnp.pad(sk.astype(dt), ((0, 0),) * 4 + ((0, 7),))
-        x = conv_transpose_nd(x.astype(dt), sk8, 1, 1, 0)[..., :1] + sb
+        seg = conv_transpose_single_channel(x.astype(dt), sk.astype(dt), sb)
 
-        seg_logits = x.reshape(b, 8, H_in, W_in).astype(jnp.float32)
+        seg_logits = seg.reshape(b, 8, H_in, W_in).astype(jnp.float32)
         return seg_logits, class_scores.astype(jnp.float32), feat

@@ -146,6 +146,43 @@ def conv_transpose_nd(
     )
 
 
+def conv_transpose_single_channel(
+    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
+) -> jax.Array:
+    """Stride-1, pad-1 ConvTranspose3d with ONE output channel, fast path.
+
+    A direct Cout=1 convolution leaves 127/128 vector lanes idle (XLA lays
+    the single channel on the minor dim) — measured 7x slower than
+    bandwidth allows.  Reformulation: contract channels first on the MXU,
+    z[..., tap] = x . K[c, tap] over all 27 taps at once, then accumulate
+    the 27 spatially shifted tap planes.  Identical math to
+    conv_transpose_nd(x, kernel, 1, 1, 0) for kernel (3, 3, 3, C, 1); the
+    backward (via autodiff of this formulation) is equally lane-friendly.
+
+    x: (B, T, H, W, C); kernel: (3, 3, 3, C, 1).  Returns (B, T, H, W).
+    """
+    B, T, H, W, C = x.shape
+    kt, kh, kw, kc, ko = kernel.shape
+    assert (kt, kh, kw, ko) == (3, 3, 3, 1) and kc == C, kernel.shape
+    kf = jnp.flip(kernel[..., 0], axis=(0, 1, 2))  # conv orientation
+    K = kf.reshape(27, C).T  # (C, 27)
+    z = jax.lax.dot_general(
+        x,
+        K.astype(x.dtype),
+        dimension_numbers=(((4,), (0,)), ((), ())),
+    )  # (B, T, H, W, 27)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = jnp.zeros((B, T, H, W), x.dtype)
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                tap = (dt * 3 + dh) * 3 + dw
+                y = y + zp[:, dt : dt + T, dh : dh + H, dw : dw + W, tap]
+    if bias is not None:
+        y = y + bias.reshape(())
+    return y
+
+
 def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
     """Max pool with TF-SAME *zero* padding, channels-last.
 

@@ -115,3 +115,16 @@ def test_maxpool_same_zero_pad_matches_torch(kernel, stride):
     xj = jnp.asarray(np.moveaxis(x, 1, -1))
     out = max_pool_same_zero_pad(xj, kernel, stride)
     np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref, rtol=0, atol=0)
+
+
+def test_conv_transpose_single_channel_matches_general():
+    from picad_tpu.ops.convops import conv_transpose_single_channel
+
+    x = RNG.standard_normal((2, 4, 6, 6, 16)).astype(np.float32)
+    k = RNG.standard_normal((3, 3, 3, 16, 1)).astype(np.float32) * 0.1
+    b = np.float32(0.37)
+    ref = conv_transpose_nd(jnp.asarray(x), jnp.asarray(k), 1, 1, 0)[..., 0] + b
+    out = conv_transpose_single_channel(
+        jnp.asarray(x), jnp.asarray(k), jnp.asarray([b])
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
