@@ -42,7 +42,7 @@ def main():
     shard = batch_sharding(mesh)
     n_chips = mesh.size
 
-    model = CapsNet(num_classes=24, compute_dtype=jnp.bfloat16)
+    model = CapsNet(num_classes=24, compute_dtype=jnp.bfloat16, bn_groups=2)
     optimizer = make_optimizer(1e-4)
     state = create_train_state(
         model, optimizer, rng=jax.random.PRNGKey(47),
@@ -52,7 +52,7 @@ def main():
 
     loss_cfg = LossConfig(bv=True, n_frames=5, wt_cons=0.1, thresh_epoch=11)
     train_step = jax.jit(
-        make_train_step(model, optimizer, loss_cfg),
+        make_train_step(model, optimizer, loss_cfg, fold_flip=True),
         in_shardings=(repl, shard, None, None),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

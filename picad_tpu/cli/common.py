@@ -67,7 +67,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--annotation_root", type=str, default="")
     p.add_argument("--save_root", type=str, default="train_log_wts")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    p.add_argument("--fold_flip", action="store_true")
+    p.add_argument("--no_fold_flip", action="store_true",
+                   help="run original/flipped views as two dispatches")
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural data backend (hermetic runs)")
@@ -85,7 +86,7 @@ def args_to_config(args, dataset: str) -> TrainConfig:
     cfg.pf = args.pf
     cfg.exp_id = args.exp_id
     cfg.save_root = args.save_root
-    cfg.fold_flip = args.fold_flip
+    cfg.fold_flip = not args.no_fold_flip
 
     cfg.data.dataset = "synthetic" if args.synthetic else dataset
     cfg.data.data_root = args.data_root

@@ -101,8 +101,11 @@ class TrainConfig:
     # reference deletes superseded best checkpoints only while e < 20
     # (main_ucf101.py:444-455)
     keep_all_after_epoch: int = 20
-    fold_flip: bool = False  # fold flipped clips into one 2B forward (perf;
-    # changes BN batch statistics vs the reference's two B-sized forwards)
+    # Fold original+flipped clips into one 2B-batch forward.  BatchNorm
+    # computes per-view statistics (TorchBatchNorm.stats_groups=2), so the
+    # numerics are EXACTLY the reference's two sequential forwards — this
+    # is purely a dispatch/utilization win, hence default on.
+    fold_flip: bool = True
     log_every_host_transfer: bool = False
 
 

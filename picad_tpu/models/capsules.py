@@ -219,6 +219,10 @@ class CapsNet(nn.Module):
     pose_size: int = 4
     compute_dtype: Any = jnp.float32
     dropout_rate: float = 0.5
+    # >1 when original+flipped views are folded into one batch: BatchNorm
+    # then computes per-view statistics (see TorchBatchNorm.stats_groups),
+    # keeping exact two-forward reference numerics at one-dispatch cost.
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -244,7 +248,8 @@ class CapsNet(nn.Module):
         assert T_in == 8, "the I3D/decoder temporal schedule requires T=8"
 
         x, cross56, cross112 = InceptionI3d(
-            final_endpoint="Mixed_4f", name="conv1", compute_dtype=dt
+            final_endpoint="Mixed_4f", name="conv1", compute_dtype=dt,
+            bn_groups=self.bn_groups,
         )(img, train)
 
         x = Dropout3d(self.dropout_rate, name="drop_enc")(x, deterministic=not train)

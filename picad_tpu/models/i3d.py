@@ -91,6 +91,7 @@ class StemS2D(nn.Module):
 
     features: int = 64
     compute_dtype: Any = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,7 +120,9 @@ class StemS2D(nn.Module):
             4, 4, 4, 8 * C, self.features
         )
         y = conv_nd(xp, wp, 1, [(1, 2), (1, 2), (1, 2)])
-        y = TorchBatchNorm(name="bn")(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn", stats_groups=self.bn_groups if train else 1)(
+            y, use_running_average=not train
+        )
         return jax.nn.relu(y)
 
 
@@ -132,18 +135,19 @@ class InceptionModule(nn.Module):
 
     out_channels: Sequence[int]
     compute_dtype: Any = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         oc = self.out_channels
-        dt = self.compute_dtype
-        b0 = Unit3D(oc[0], (1, 1, 1), name="b0", compute_dtype=dt)(x, train)
-        b1 = Unit3D(oc[1], (1, 1, 1), name="b1a", compute_dtype=dt)(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), name="b1b", compute_dtype=dt)(b1, train)
-        b2 = Unit3D(oc[3], (1, 1, 1), name="b2a", compute_dtype=dt)(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), name="b2b", compute_dtype=dt)(b2, train)
+        kw = dict(compute_dtype=self.compute_dtype, bn_groups=self.bn_groups)
+        b0 = Unit3D(oc[0], (1, 1, 1), name="b0", **kw)(x, train)
+        b1 = Unit3D(oc[1], (1, 1, 1), name="b1a", **kw)(x, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), name="b1b", **kw)(b1, train)
+        b2 = Unit3D(oc[3], (1, 1, 1), name="b2a", **kw)(x, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), name="b2b", **kw)(b2, train)
         b3 = max_pool_same_zero_pad(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), name="b3b", compute_dtype=dt)(b3, train)
+        b3 = Unit3D(oc[5], (1, 1, 1), name="b3b", **kw)(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -201,6 +205,7 @@ class InceptionI3d(nn.Module):
     num_classes: int = 400
     compute_dtype: Any = jnp.float32
     s2d_stem: bool = True  # space-to-depth first conv (see StemS2D)
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,25 +218,33 @@ class InceptionI3d(nn.Module):
         for ep in VALID_ENDPOINTS:
             if ep == "Conv3d_1a_7x7":
                 if self.s2d_stem and even:
-                    x = StemS2D(64, name=ep, compute_dtype=dt)(x, train)
+                    x = StemS2D(
+                        64, name=ep, compute_dtype=dt, bn_groups=self.bn_groups
+                    )(x, train)
                 else:
                     x = Unit3D(
-                        64, (7, 7, 7), (2, 2, 2), name=ep, compute_dtype=dt
+                        64, (7, 7, 7), (2, 2, 2), name=ep, compute_dtype=dt,
+                        bn_groups=self.bn_groups,
                     )(x, train)
                 out112 = x
             elif ep == "Conv3d_2b_1x1":
-                x = Unit3D(64, (1, 1, 1), name=ep, compute_dtype=dt)(x, train)
+                x = Unit3D(
+                    64, (1, 1, 1), name=ep, compute_dtype=dt,
+                    bn_groups=self.bn_groups,
+                )(x, train)
             elif ep == "Conv3d_2c_3x3":
-                x = Unit3D(192, (3, 3, 3), (2, 1, 1), name=ep, compute_dtype=dt)(
-                    x, train
-                )
+                x = Unit3D(
+                    192, (3, 3, 3), (2, 1, 1), name=ep, compute_dtype=dt,
+                    bn_groups=self.bn_groups,
+                )(x, train)
                 out56 = x
             elif ep in _POOL_SPECS:
                 k, s = _POOL_SPECS[ep]
                 x = max_pool_same_zero_pad(x, k, s)
             else:
                 x = InceptionModule(
-                    _INCEPTION_SPECS[ep], name=ep, compute_dtype=dt
+                    _INCEPTION_SPECS[ep], name=ep, compute_dtype=dt,
+                    bn_groups=self.bn_groups,
                 )(x, train)
             if ep == self.final_endpoint:
                 break

@@ -22,16 +22,26 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from picad_tpu.ops.convops import conv_nd
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm over the channel (last) axis with torch running-stat rules."""
+    """BatchNorm over the channel (last) axis with torch running-stat rules.
+
+    `stats_groups > 1` splits the batch axis into that many contiguous
+    groups, each normalized by its own statistics, with the running stats
+    updated sequentially group-by-group.  This reproduces *exactly* the
+    numerics of running the network once per group (the reference's two
+    separate forwards for original and flipped clips,
+    main_ucf101.py:85-86) while dispatching a single, larger batch.
+    """
 
     momentum: float = 0.01
     epsilon: float = 1e-3
     use_running_average: bool | None = None
+    stats_groups: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
@@ -49,24 +59,35 @@ class TorchBatchNorm(nn.Module):
         )
 
         if use_ra:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            reduce_axes = tuple(range(x.ndim - 1))
-            n = 1
-            for a in reduce_axes:
-                n *= x.shape[a]
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)  # biased
-            if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            y = (x.astype(jnp.float32) - ra_mean.value) * inv + bias
+            return y.astype(x.dtype)
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(x.dtype)
+        G = self.stats_groups
+        B = x.shape[0]
+        assert B % G == 0, (B, G)
+        xg = x.astype(jnp.float32).reshape(G, B // G, *x.shape[1:])
+        reduce_axes = tuple(range(1, xg.ndim - 1))
+        n = (B // G) * int(np.prod(x.shape[1:-1]))
+        mean_g = jnp.mean(xg, axis=reduce_axes)  # (G, C)
+        var_g = jnp.mean(
+            jnp.square(xg - mean_g.reshape(G, *([1] * (xg.ndim - 2)), c)),
+            axis=reduce_axes,
+        )  # biased, per group
+        if not self.is_initializing():
+            m = self.momentum
+            unbiased_g = var_g * (n / max(n - 1, 1))
+            new_mean, new_var = ra_mean.value, ra_var.value
+            for g in range(G):  # sequential EMA == per-forward updates
+                new_mean = (1 - m) * new_mean + m * mean_g[g]
+                new_var = (1 - m) * new_var + m * unbiased_g[g]
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+
+        inv = jax.lax.rsqrt(var_g + self.epsilon) * scale  # (G, C)
+        shape = (G, *([1] * (xg.ndim - 2)), c)
+        y = (xg - mean_g.reshape(shape)) * inv.reshape(shape) + bias
+        return y.reshape(x.shape).astype(x.dtype)
 
 
 class Dropout3d(nn.Module):
@@ -97,6 +118,7 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     activation: Callable | None = jax.nn.relu
     compute_dtype: Any = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,7 +140,9 @@ class Unit3D(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
         if self.use_batch_norm:
-            y = TorchBatchNorm(name="bn")(y, use_running_average=not train)
+            y = TorchBatchNorm(name="bn", stats_groups=self.bn_groups if train else 1)(
+                y, use_running_average=not train
+            )
         if self.activation is not None:
             y = self.activation(y)
         return y

@@ -57,6 +57,7 @@ class Trainer:
             pose_size=cfg.model.pose_size,
             compute_dtype=compute_dtype,
             dropout_rate=cfg.model.dropout_rate,
+            bn_groups=2 if cfg.fold_flip else 1,
         )
         self.optimizer = make_optimizer(
             cfg.optim.lr, eps=cfg.optim.adam_eps, weight_decay=cfg.optim.weight_decay

@@ -23,11 +23,12 @@ Loss assembly mirrors train_model_interface (main_ucf101.py:50-150):
 - consistency applies to ALL rows, labeled included (:100-148);
 - total = wt_loc * loc + wt_cls * cls + wt_cons * cons (:148).
 
-BatchNorm batch statistics: by default the two forwards update running
-stats sequentially, each normalizing by its own B-row batch (exactly the
-reference's two model() calls).  `fold_flip=True` concatenates both views
-into one 2B forward — fewer launches, bigger MXU batches — at the cost of
-BN statistics pooled over both views (documented deviation; opt-in).
+BatchNorm batch statistics: with `fold_flip=True` (default) both views
+run as one 2B-batch forward while BatchNorm (built with bn_groups=2)
+computes per-view statistics and updates running stats sequentially —
+bit-for-bit the numerics of the reference's two model() calls at the
+dispatch/utilization cost of one.  `fold_flip=False` runs the two
+forwards sequentially (identical math, slower).
 
 Both `epoch` and `wt_ramp` are traced scalars, so no retrace across
 epochs; the pseudo-label epoch gate is a `jnp.where` inside the model.
@@ -137,6 +138,9 @@ def make_train_step(
         lm = flags  # 1.0 for labeled rows
 
         if fold_flip:
+            # First half = original view, second half = flipped view; the
+            # model's BatchNorm must be built with bn_groups=2 so each view
+            # normalizes with its own statistics (exact reference parity).
             both = jnp.concatenate([data, aug], axis=0)
             action2 = jnp.concatenate([action, action], axis=0)
             flags2 = jnp.concatenate([flags, flags], axis=0)
