@@ -334,12 +334,13 @@ class CapsNet(nn.Module):
 
         x = ct("upsample4", x, 128, 128, 3, 2, 1, 1, nd=3)  # (B,8,224,224,128)
         x = Dropout3d(self.dropout_rate, name="drop_dec")(x, deterministic=not train)
-        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  Computed via the
-        # matmul + shift-add fast path (see conv_transpose_single_channel);
-        # a direct 1-channel conv was the slowest op in the step profile.
+        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  The 1-channel
+        # output is lane-hostile; measured alternatives (matmul+shift-add,
+        # depthwise+reduce, replicated-channel) were no faster end-to-end,
+        # so the direct conv stays (candidate for a Pallas stencil kernel).
         sk = self.param("smooth_kernel", _normal(0.02), (3, 3, 3, 128, 1))
         sb = self.param("smooth_bias", _torch_conv_uniform(1 * 27), (1,))
-        seg = conv_transpose_single_channel(x.astype(dt), sk.astype(dt), sb)
+        seg = conv_transpose_nd(x.astype(dt), sk.astype(dt), 1, 1, 0)[..., 0] + sb
 
         seg_logits = seg.reshape(b, 8, H_in, W_in).astype(jnp.float32)
         return seg_logits, class_scores.astype(jnp.float32), feat
