@@ -89,7 +89,7 @@ class Trainer:
         )
         self.val_step = jax.jit(
             make_val_step(self.model, cfg.loss),
-            in_shardings=(self.replicated, self.batch_sharding),
+            in_shardings=(self.replicated, self.batch_sharding, None),
             out_shardings=(self.batch_sharding, self.replicated),
         )
 
@@ -200,16 +200,26 @@ class Trainer:
         t0 = time.time()
         n = len(self.val_dataset)
         bs = cfg.bs
-        for i in range(0, n - n % bs, bs):  # fixed batch => single compile
-            samples = [self.val_dataset[j] for j in range(i, i + bs)]
+        for i in range(0, n, bs):  # fixed batch => single compile
+            idx = list(range(i, min(i + bs, n)))
+            samples = [self.val_dataset[j] for j in idx]
+            n_real = len(samples)
+            while len(samples) < bs:  # zero-pad the ragged final batch
+                samples.append(
+                    {k: np.zeros_like(v) for k, v in samples[0].items()}
+                )
             batch = collate(samples)
+            row_mask = np.zeros((bs,), np.float32)
+            row_mask[:n_real] = 1.0
             batch = jax.device_put(batch, self.batch_sharding)
-            seg_bin, metrics = self.val_step(self.state, batch)
+            seg_bin, metrics = self.val_step(
+                self.state, batch, jnp.asarray(row_mask)
+            )
             totals.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
             seg_np = np.asarray(seg_bin)
             gt_np = np.asarray(batch["loc_msk"])[..., 0]
-            for a in range(seg_np.shape[0]):
+            for a in range(n_real):
                 iou = binary_mask_iou(gt_np[a], seg_np[a])
                 if iou == iou:
                     total_iou += iou

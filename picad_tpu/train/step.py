@@ -249,16 +249,20 @@ def make_train_step(
 
 def make_val_step(model, loss_cfg: LossConfig):
     """Validation step (val_model_interface, main_ucf101.py:33-47):
-    eval-mode forward, losses over all rows, binarized masks for IoU."""
+    eval-mode forward, losses over all valid rows, binarized masks for IoU.
+
+    `row_mask` marks real rows: the final partial batch is zero-padded to
+    the compiled batch size and masked out, so ragged epochs compile one
+    program while every sample still counts exactly once (the reference's
+    DataLoader keeps partial final batches)."""
 
     loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
 
-    def val_step(state, batch):
+    def val_step(state, batch, row_mask):
         data = batch["data"]
         action = batch["action"].astype(jnp.int32)
         seg_gt = batch["loc_msk"][..., 0]
         b = data.shape[0]
-        ones = jnp.ones((b,), jnp.float32)
 
         seg, scores, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -270,13 +274,16 @@ def make_val_step(model, loss_cfg: LossConfig):
             False,
         )
         cls_loss = _masked_spread(
-            scores, action, ones, loss_cfg.spread_m_min, loss_cfg.spread_m_max
+            scores, action, row_mask, loss_cfg.spread_m_min, loss_cfg.spread_m_max
         )
-        loc = _masked_bce(seg, seg_gt, ones) + loc_loss_fn(seg, seg_gt, ones)
+        loc = _masked_bce(seg, seg_gt, row_mask) + loc_loss_fn(
+            seg, seg_gt, row_mask
+        )
         total = loc + cls_loss
-        acc = jnp.mean(
-            (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(jnp.float32)
+        correct = (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(
+            jnp.float32
         )
+        acc = jnp.sum(correct * row_mask) / jnp.maximum(jnp.sum(row_mask), 1.0)
         # binarize at logits > 0 like main_ucf101.py:255-256
         seg_bin = (seg > 0).astype(jnp.float32)
         metrics = {"loss": total, "loss_seg": loc, "loss_cls": cls_loss, "acc": acc}
