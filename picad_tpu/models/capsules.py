@@ -223,6 +223,7 @@ class CapsNet(nn.Module):
     # then computes per-view statistics (see TorchBatchNorm.stats_groups),
     # keeping exact two-forward reference numerics at one-dispatch cost.
     bn_groups: int = 1
+    pallas_head: bool = True  # fused Pallas seg-head stencil on TPU
 
     @nn.compact
     def __call__(
@@ -335,12 +336,26 @@ class CapsNet(nn.Module):
         x = ct("upsample4", x, 128, 128, 3, 2, 1, 1, nd=3)  # (B,8,224,224,128)
         x = Dropout3d(self.dropout_rate, name="drop_dec")(x, deterministic=not train)
         # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  The 1-channel
-        # output is lane-hostile; measured alternatives (matmul+shift-add,
-        # depthwise+reduce, replicated-channel) were no faster end-to-end,
-        # so the direct conv stays (candidate for a Pallas stencil kernel).
+        # output is lane-hostile for XLA's conv emitter (slowest op in the
+        # step profile); on TPU we use the fused Pallas stencil kernel
+        # (ops/pallas_smooth.py), elsewhere the direct conv.
         sk = self.param("smooth_kernel", _normal(0.02), (3, 3, 3, 128, 1))
         sb = self.param("smooth_bias", _torch_conv_uniform(1 * 27), (1,))
-        seg = conv_transpose_nd(x.astype(dt), sk.astype(dt), 1, 1, 0)[..., 0] + sb
+        use_pallas = (
+            self.pallas_head
+            and jax.default_backend() == "tpu"
+            and H_in % 16 == 0
+            and W_in % 16 == 0
+        )
+        if use_pallas:
+            from picad_tpu.ops.pallas_smooth import smooth_head
+
+            seg = smooth_head(x.astype(dt), sk.astype(dt)) + sb
+        else:
+            seg = (
+                conv_transpose_nd(x.astype(dt), sk.astype(dt), 1, 1, 0)[..., 0]
+                + sb
+            )
 
         seg_logits = seg.reshape(b, 8, H_in, W_in).astype(jnp.float32)
         return seg_logits, class_scores.astype(jnp.float32), feat
