@@ -104,18 +104,22 @@ def _fwd_kernel(x_hbm, k_ref, y_ref, slab, sems):
         ).reshape(3, CHUNK + 2, W, NTAPS)
 
         # realign so z_eff rows cover global [ci*CHUNK - 1, ci*CHUNK + CHUNK + 1)
-        # with zero rows where that range leaves [0, H)
+        # with zero rows where that range leaves [0, H).  Mosaic dislikes
+        # sub-tile concatenates, so realignment uses roll + iota masks.
         h0 = ci * CHUNK - 1
         h_start = chunk_start(ci)
-        zero_row = jnp.zeros((3, 1, W, NTAPS), jnp.float32)
-        if h0 < h_start:  # top chunk: virtual row -1
-            z_eff = jnp.concatenate([zero_row, z[:, : CHUNK + 1]], axis=1)
-        elif h0 > h_start:  # bottom chunk: virtual row H
-            z_eff = jnp.concatenate([z[:, 1:], zero_row], axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK + 2, 1, 1), 1)
+        if h0 < h_start:  # top chunk: virtual row -1 enters at index 0
+            z_eff = pltpu.roll(z, shift=1, axis=1)
+            z_eff = jnp.where(rows == 0, 0.0, z_eff)
+        elif h0 > h_start:  # bottom chunk: virtual row H enters at the end
+            z_eff = pltpu.roll(z, shift=CHUNK + 1, axis=1)  # == -1
+            z_eff = jnp.where(rows == CHUNK + 1, 0.0, z_eff)
         else:
             z_eff = z
 
         # fold taps: y[hh, w] = sum_d z_eff[dt, hh + dh, w + dw - 1, tap(d)]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1)
         acc = jnp.zeros((CHUNK, W), jnp.float32)
         for dt in range(3):
             for dh in range(3):
@@ -123,15 +127,15 @@ def _fwd_kernel(x_hbm, k_ref, y_ref, slab, sems):
                 for dw in range(3):
                     tap = (dt * 3 + dh) * 3 + dw
                     plane = zrows[:, :, tap]
-                    if dw == 0:
-                        shifted = jnp.concatenate(
-                            [jnp.zeros((CHUNK, 1), jnp.float32), plane[:, : W - 1]],
-                            axis=1,
+                    if dw == 0:  # shifted[w] = plane[w-1], zero at w=0
+                        shifted = jnp.where(
+                            cols == 0, 0.0, pltpu.roll(plane, shift=1, axis=1)
                         )
-                    elif dw == 2:
-                        shifted = jnp.concatenate(
-                            [plane[:, 1:], jnp.zeros((CHUNK, 1), jnp.float32)],
-                            axis=1,
+                    elif dw == 2:  # shifted[w] = plane[w+1], zero at w=W-1
+                        shifted = jnp.where(
+                            cols == W - 1,
+                            0.0,
+                            pltpu.roll(plane, shift=W - 1, axis=1),  # == -1
                         )
                     else:
                         shifted = plane
