@@ -223,7 +223,8 @@ class CapsNet(nn.Module):
     # then computes per-view statistics (see TorchBatchNorm.stats_groups),
     # keeping exact two-forward reference numerics at one-dispatch cost.
     bn_groups: int = 1
-    pallas_head: bool = True  # fused Pallas seg-head stencil on TPU
+    pallas_head: bool = False  # Pallas seg-head stencil (off: XLA conv
+    # with an optimization barrier measured faster in-context)
 
     @nn.compact
     def __call__(

@@ -161,6 +161,9 @@ def _smooth_fwd_impl(x: jax.Array, K: jax.Array, *, interpret: bool = False):
             pltpu.VMEM((2, 3, CHUNK + 2, W, C), x.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x, K.astype(x.dtype))
 
