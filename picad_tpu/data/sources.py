@@ -151,12 +151,16 @@ class UCFVideoSource:
         data_root: str,
         *,
         single_annotation: bool = False,
+        keyframe_masks: bool = False,
         rng: np.random.Generator | None = None,
     ):
         with open(annotation_file, "rb") as f:
             self.records = pickle.load(f)
         self.data_root = data_root
         self.single_annotation = single_annotation
+        # 'train'-split eval masks: keyframe boxes linearly interpolated
+        # (ucf_dataloader_eval.py returns bbox_annot for name == 'train')
+        self.keyframe_masks = keyframe_masks
         self.rng = rng or np.random.default_rng()
 
     def __len__(self) -> int:
@@ -174,6 +178,8 @@ class UCFVideoSource:
             idx = self.rng.integers(0, len(anns)) if len(anns) > 1 else 0
             anns = [anns[idx]]
         mask, label, labeled, keyframes = rasterize_boxes(n, h, w, anns)
+        if self.keyframe_masks:
+            mask = rasterize_keyframe_boxes(n, h, w, anns[0])
         return VideoRecord(
             video, mask, label, np.asarray(keyframes), labeled, name=v_name
         )

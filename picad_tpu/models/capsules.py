@@ -224,7 +224,11 @@ class CapsNet(nn.Module):
     # keeping exact two-forward reference numerics at one-dispatch cost.
     bn_groups: int = 1
     pallas_head: bool = False  # Pallas seg-head stencil (off: XLA conv
-    # with an optimization barrier measured faster in-context)
+    # measured faster in-context; kernel kept for larger configs)
+    # rematerialize the I3D encoder in the backward pass: trades ~30%
+    # extra encoder FLOPs for not storing its activations — enables much
+    # larger per-chip batches (jax.checkpoint / flax nn.remat)
+    remat_encoder: bool = False
 
     @nn.compact
     def __call__(
@@ -249,7 +253,10 @@ class CapsNet(nn.Module):
         B_in, T_in, H_in, W_in = img.shape[:4]
         assert T_in == 8, "the I3D/decoder temporal schedule requires T=8"
 
-        x, cross56, cross112 = InceptionI3d(
+        encoder_cls = InceptionI3d
+        if self.remat_encoder:
+            encoder_cls = nn.remat(InceptionI3d, static_argnums=(2,))
+        x, cross56, cross112 = encoder_cls(
             final_endpoint="Mixed_4f", name="conv1", compute_dtype=dt,
             bn_groups=self.bn_groups,
         )(img, train)

@@ -58,6 +58,7 @@ class Trainer:
             compute_dtype=compute_dtype,
             dropout_rate=cfg.model.dropout_rate,
             bn_groups=2 if cfg.fold_flip else 1,
+            remat_encoder=cfg.model.remat_encoder,
         )
         self.optimizer = make_optimizer(
             cfg.optim.lr, eps=cfg.optim.adam_eps, weight_decay=cfg.optim.weight_decay
@@ -252,7 +253,14 @@ class Trainer:
         return next_epoch
 
     def fit(self, start_epoch: int = 1) -> None:
-        for e in range(start_epoch, self.cfg.epochs + 1):
+        epochs = range(start_epoch, self.cfg.epochs + 1)
+        try:
+            from tqdm import tqdm
+
+            epochs = tqdm(epochs)
+        except ImportError:
+            pass
+        for e in epochs:
             train_loss = self.train_epoch(e)
             val_loss = self.validate(e)
             self.state = self.state.replace(
