@@ -145,7 +145,7 @@ def _fwd_kernel(x_hbm, k_ref, y_ref, slab, sems):
 
 def _smooth_fwd_impl(x: jax.Array, K: jax.Array, *, interpret: bool = False):
     B, T, H, W, C = x.shape
-    assert H % CHUNK == 0, (H, CHUNK)
+    assert H % CHUNK == 0 and H >= CHUNK + 2, (H, CHUNK)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(B, T),

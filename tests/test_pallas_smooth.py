@@ -30,7 +30,7 @@ def test_forward_matches_conv_transpose():
 
 def test_forward_t_boundaries():
     # small T exercises the t-halo masking on both ends
-    x, k = _data(B=1, T=2, H=16, W=16, C=8, seed=1)
+    x, k = _data(B=1, T=2, H=32, W=16, C=8, seed=1)
     ref = conv_transpose_nd(x, k, 1, 1, 0)[..., 0]
     out = smooth_head(x, k, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
