@@ -45,28 +45,49 @@ class SemiSupervisedBatcher:
         seed: int = 0,
         workers: int = 4,
         force_stream_flags: bool = False,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
+        """batch_size is the PER-HOST batch.  On multi-host meshes each
+        process draws a disjoint strided shard of both datasets
+        (process_index/process_count default to jax.process_*)."""
         assert batch_size % 2 == 0, "batch is split half labeled / half unlabeled"
         self.labeled = labeled_dataset
         self.unlabeled = unlabeled_dataset
         self.half = batch_size // 2
         self.seed = seed
         self.workers = workers
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
         # UCF101 reads labeled_vid from ann[5]; JHMDB has no flag and the
         # reference driver forces ones/zeros per stream (main_jhmdb.py:66-70).
         self.force_stream_flags = force_stream_flags
 
+    def _host_shard(self, order: np.ndarray) -> np.ndarray:
+        """Strided per-process shard of a shuffled index order."""
+        if self.process_count <= 1:
+            return order
+        return order[self.process_index :: self.process_count]
+
     def steps_per_epoch(self) -> int:
-        return max(len(self.unlabeled) // self.half, 1)
+        n = len(self.unlabeled) // max(self.process_count, 1)
+        return max(n // self.half, 1)
 
     def epoch(self, epoch: int) -> Iterator[dict[str, np.ndarray]]:
+        # the permutation seed is process-independent: every host shuffles
+        # identically, then takes its strided shard (disjoint coverage)
         rng = np.random.default_rng((self.seed, epoch))
         for ds in (self.labeled, self.unlabeled):
             if hasattr(ds, "set_epoch"):
                 ds.set_epoch(epoch)
 
-        unlabeled_order = rng.permutation(len(self.unlabeled))
-        labeled_order = rng.permutation(len(self.labeled))
+        unlabeled_order = self._host_shard(rng.permutation(len(self.unlabeled)))
+        labeled_order = self._host_shard(rng.permutation(len(self.labeled)))
         labeled_pos = 0
 
         def next_labeled_indices(n):
@@ -74,7 +95,9 @@ class SemiSupervisedBatcher:
             out = []
             while len(out) < n:
                 if labeled_pos >= len(labeled_order):
-                    labeled_order = rng.permutation(len(self.labeled))
+                    labeled_order = self._host_shard(
+                        rng.permutation(len(self.labeled))
+                    )
                     labeled_pos = 0
                 out.append(int(labeled_order[labeled_pos]))
                 labeled_pos += 1

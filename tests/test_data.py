@@ -148,3 +148,20 @@ def test_eval_video_dataset_center_crop():
     assert video.shape == (20, 96, 96, 3)
     assert mask.shape == (20, 96, 96, 1)
     assert 0.0 <= video.min() and video.max() <= 1.0
+
+
+def test_batcher_multihost_sharding_is_disjoint():
+    lab = _small_ds(labeled=1.0, seed=1)
+    unl = _small_ds(labeled=0.0, seed=2)
+    seen = []
+    for pi in range(2):
+        b = SemiSupervisedBatcher(
+            lab, unl, batch_size=2, seed=0, workers=1,
+            process_index=pi, process_count=2,
+        )
+        order = b._host_shard(
+            __import__("numpy").random.default_rng((0, 1)).permutation(len(unl))
+        )
+        seen.append(set(int(i) for i in order))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(len(unl)))
