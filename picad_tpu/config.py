@@ -84,6 +84,10 @@ class ParallelConfig:
     num_devices: int = 0  # 0 = all visible
 
 
+class ConfigError(ValueError):
+    pass
+
+
 @dataclasses.dataclass
 class TrainConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
@@ -107,6 +111,34 @@ class TrainConfig:
     # is purely a dispatch/utilization win, hence default on.
     fold_flip: bool = True
     log_every_host_transfer: bool = False
+
+    def validate(self) -> None:
+        """Fail fast on bad flags — before any (minutes-long) compilation."""
+        if self.bs % 2 != 0:
+            raise ConfigError(
+                f"--bs must be even (half labeled / half unlabeled), got {self.bs}"
+            )
+        if self.loss.loc_loss not in ("dice", "iou"):
+            raise ConfigError(
+                f"--loc_loss must be 'dice' or 'iou', got {self.loss.loc_loss!r}"
+            )
+        if self.loss.const_loss not in ("l2", "jsd", "l1"):
+            raise ConfigError(
+                f"--const_loss must be l2/jsd/l1, got {self.loss.const_loss!r}"
+            )
+        if self.loss.n_frames not in (3, 5):
+            raise ConfigError(
+                f"--n_frames (variance window) must be 3 or 5, got {self.loss.n_frames}"
+            )
+        if self.model.compute_dtype not in ("bfloat16", "float32"):
+            raise ConfigError(
+                f"--compute_dtype must be bfloat16/float32, got "
+                f"{self.model.compute_dtype!r}"
+            )
+        if self.data.clip_height % 16 or self.data.clip_width % 16:
+            raise ConfigError(
+                "clip height/width must be divisible by 16 (I3D stride stack)"
+            )
 
 
 @dataclasses.dataclass

@@ -88,6 +88,12 @@ def sweep_checkpoints(
 
     io = CheckpointIO()
     paths = sorted(glob.glob(os.path.join(ckpt_dir, f"best_model_{split}*")))
+    if not paths:
+        print(
+            f"No checkpoints matching 'best_model_{split}*' in {ckpt_dir!r} — "
+            "nothing to evaluate."
+        )
+        return {}
     results = {}
     fmap_best, vmap_best, names = [], [], []
     for path in paths:

@@ -46,6 +46,7 @@ class Trainer:
         use_wandb: bool = False,
     ):
         self.cfg = cfg
+        cfg.validate()  # fail fast before any compilation
         import jax.numpy as jnp_
 
         compute_dtype = {
