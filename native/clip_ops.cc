@@ -43,17 +43,16 @@ void assemble_clip(const uint8_t* video, const uint8_t* mask,
       const uint8_t* src = vframe + r * W * 3;
       float* dst = orow + r * cw * 3;
       float* fdst = frow + r * cw * 3;
+      // straight conversion first (auto-vectorizes: u8 -> f32 * inv255)
+      const int64_t n = cw * 3;
+      for (int64_t c = 0; c < n; ++c) dst[c] = src[c] * inv255;
+      // flip as a cache-hot reverse copy of the float row
       for (int64_t c = 0; c < cw; ++c) {
-        const float r0 = src[c * 3 + 0] * inv255;
-        const float g0 = src[c * 3 + 1] * inv255;
-        const float b0 = src[c * 3 + 2] * inv255;
-        dst[c * 3 + 0] = r0;
-        dst[c * 3 + 1] = g0;
-        dst[c * 3 + 2] = b0;
+        const float* s = dst + c * 3;
         float* fd = fdst + (cw - 1 - c) * 3;
-        fd[0] = r0;
-        fd[1] = g0;
-        fd[2] = b0;
+        fd[0] = s[0];
+        fd[1] = s[1];
+        fd[2] = s[2];
       }
     }
     float* mrow = out_mask + j * ch * cw;

@@ -75,6 +75,18 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--resume", type=str, default="",
                    help="path to a full-train-state checkpoint to resume from")
+    p.add_argument("--decoded_cache_dir", type=str, default="",
+                   help="write-through pre-decoded .npy video cache dir; "
+                   "later epochs memmap instead of re-running ffmpeg")
+    p.add_argument("--video_cache_gb", type=float, default=0.0,
+                   help="in-memory LRU over decoded videos (GiB, 0 = off)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of train steps here")
+    # multi-host bring-up (jax.distributed); single-host when unset
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port of process 0 for jax.distributed.initialize")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
 
 
@@ -95,8 +107,14 @@ def args_to_config(args, dataset: str) -> TrainConfig:
     cfg.data.pkl_file_label = args.pkl_file_label
     cfg.data.pkl_file_unlabel = args.pkl_file_unlabel
     cfg.data.workers = args.workers
+    cfg.data.decoded_cache_dir = args.decoded_cache_dir
+    cfg.data.video_cache_bytes = int(args.video_cache_gb * (1 << 30))
 
     cfg.model.num_classes = 24 if dataset == "ucf101" else 21
+    # Superseded-checkpoint deletion gate: the reference deletes earlier
+    # best checkpoints while e<20 on UCF101 (main_ucf101.py:444,453) but
+    # while e<4 on JHMDB (main_jhmdb.py:435,444).
+    cfg.keep_all_after_epoch = 20 if dataset == "ucf101" else 4
     cfg.model.compute_dtype = args.compute_dtype
     cfg.model.pretrained_i3d = args.pretrained_i3d_path
 
@@ -120,7 +138,21 @@ def args_to_config(args, dataset: str) -> TrainConfig:
     cfg.loss.thresh_epoch = args.thresh_epoch
 
     cfg.parallel.num_devices = args.num_devices
+    cfg.profile_dir = args.profile_dir
     return cfg
+
+
+def maybe_initialize_distributed(args) -> None:
+    """Multi-host bring-up from CLI flags; must run before any other JAX
+    call so the backend sees all processes (SURVEY §2.2 TPU plan)."""
+    from picad_tpu.parallel.mesh import initialize_distributed
+
+    if args.num_processes and args.num_processes > 1:
+        initialize_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
 
 
 def build_train_datasets(cfg: TrainConfig):
@@ -134,7 +166,16 @@ def build_train_datasets(cfg: TrainConfig):
         UCFVideoSource,
     )
 
+    from picad_tpu.data.sources import CachedVideoSource
+
     d = cfg.data
+    cache_dir = d.decoded_cache_dir or None
+
+    def maybe_cache(src):
+        if d.video_cache_bytes > 0:
+            return CachedVideoSource(src, capacity_bytes=d.video_cache_bytes)
+        return src
+
     if d.dataset == "synthetic":
         n = d.synthetic_num_videos
         ncls = cfg.model.num_classes
@@ -145,29 +186,35 @@ def build_train_datasets(cfg: TrainConfig):
         with_validity = False
     elif d.dataset == "ucf101":
         lab = UCFVideoSource(
-            os.path.join(d.annotation_root, d.pkl_file_label), d.data_root
+            os.path.join(d.annotation_root, d.pkl_file_label), d.data_root,
+            decoded_cache_dir=cache_dir,
         )
         unl = UCFVideoSource(
-            os.path.join(d.annotation_root, d.pkl_file_unlabel), d.data_root
+            os.path.join(d.annotation_root, d.pkl_file_unlabel), d.data_root,
+            decoded_cache_dir=cache_dir,
         )
         val = UCFVideoSource(
-            os.path.join(d.annotation_root, d.test_file), d.data_root
+            os.path.join(d.annotation_root, d.test_file), d.data_root,
+            decoded_cache_dir=cache_dir,
         )
         with_validity = False
     elif d.dataset == "jhmdb":
         lab = JHMDBVideoSource(
-            os.path.join(d.annotation_root, d.pkl_file_label), d.data_root, d.mask_root
+            os.path.join(d.annotation_root, d.pkl_file_label), d.data_root,
+            d.mask_root, decoded_cache_dir=cache_dir,
         )
         unl = JHMDBVideoSource(
             os.path.join(d.annotation_root, d.pkl_file_unlabel), d.data_root,
-            d.mask_root
+            d.mask_root, decoded_cache_dir=cache_dir,
         )
         val = JHMDBVideoSource(
-            os.path.join(d.annotation_root, "testlist.txt"), d.data_root, d.mask_root
+            os.path.join(d.annotation_root, "testlist.txt"), d.data_root,
+            d.mask_root, decoded_cache_dir=cache_dir,
         )
         with_validity = True
     else:
         raise ValueError(d.dataset)
+    lab, unl, val = maybe_cache(lab), maybe_cache(unl), maybe_cache(val)
 
     shape = (d.clip_height, d.clip_width)
     mk = lambda src, train: ClipDataset(
@@ -178,5 +225,6 @@ def build_train_datasets(cfg: TrainConfig):
         vskip=d.vskip,
         with_validity=with_validity,
         seed=cfg.seed,
+        device_prep=d.device_prep,
     )
     return mk(lab, True), mk(unl, True), mk(val, False)

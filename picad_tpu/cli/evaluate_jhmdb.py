@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_prune", action="store_true")
     p.add_argument("--log_predictions", action="store_true")
+    p.add_argument(
+        "--nan_safe", action="store_true",
+        help="mean over present classes only (reference np.mean propagates "
+        "NaN when a class has no test videos, evaluate_jhmdb.py:180-183)",
+    )
     args = p.parse_args(argv)
 
     model = CapsNet(num_classes=21)
@@ -58,6 +63,7 @@ def main(argv=None):
         clip_batch_size=args.clip_batch_size,
         prune=not args.no_prune,
         log_predictions=args.log_predictions,
+        nan_safe=args.nan_safe,
     )
 
 

@@ -10,6 +10,7 @@ import argparse
 import os
 
 import jax
+import numpy as np
 
 from picad_tpu.data.dataset import EvalVideoDataset
 from picad_tpu.data.sources import SyntheticVideoSource, UCFVideoSource
@@ -26,10 +27,20 @@ def main(argv=None):
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--data_root", type=str, default="")
     p.add_argument("--annotation_root", type=str, default="")
-    p.add_argument("--test_file", type=str, default="testing_annots.pkl")
+    p.add_argument(
+        "--test_file", type=str, default="testing_annots.pkl",
+        help="eval annotation pickle (the reference EVAL loader reads "
+        "testing_annots.pkl, ucf_dataloader_eval.py; the near-identically "
+        "named test_annots.pkl is the TRAIN-val split, main_ucf101.py:347)",
+    )
     p.add_argument("--clip_batch_size", type=int, default=14)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_prune", action="store_true")
+    p.add_argument(
+        "--nan_safe", action="store_true",
+        help="mean over present classes only (reference np.mean propagates "
+        "NaN when a class has no test videos, evaluate_ucf101.py:184-187)",
+    )
     args = p.parse_args(argv)
 
     model = CapsNet(num_classes=24)
@@ -39,10 +50,14 @@ def main(argv=None):
     if args.synthetic:
         source = SyntheticVideoSource(8, num_classes=24, seed=args.seed)
     else:
+        # Seed the single-annotation choice from --seed so the checkpoint
+        # sweep is reproducible run-to-run (reference: np.random.seed(47)
+        # at evaluate_ucf101.py:36 pins the same choice).
         source = UCFVideoSource(
             os.path.join(args.annotation_root, args.test_file),
             args.data_root,
             single_annotation=True,
+            rng=np.random.default_rng(args.seed),
         )
     dataset = EvalVideoDataset(source)
     sweep_checkpoints(
@@ -54,6 +69,7 @@ def main(argv=None):
         n_classes=24,
         clip_batch_size=args.clip_batch_size,
         prune=not args.no_prune,
+        nan_safe=args.nan_safe,
     )
 
 

@@ -8,13 +8,19 @@ labeled/unlabeled flags, and wandb logging gated behind --wandb.
 
 from __future__ import annotations
 
-from picad_tpu.cli.common import args_to_config, build_parser, build_train_datasets
+from picad_tpu.cli.common import (
+    args_to_config,
+    build_parser,
+    build_train_datasets,
+    maybe_initialize_distributed,
+)
 from picad_tpu.train.loop import Trainer
 
 
 def main(argv=None):
     args = build_parser("jhmdb").parse_args(argv)
     print(vars(args))
+    maybe_initialize_distributed(args)
     cfg = args_to_config(args, "jhmdb")
     labeled, unlabeled, val = build_train_datasets(cfg)
     print(len(labeled), len(unlabeled), len(val))

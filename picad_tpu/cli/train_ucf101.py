@@ -12,13 +12,19 @@ Replaces main_ucf101.py:321-456.
 
 from __future__ import annotations
 
-from picad_tpu.cli.common import args_to_config, build_parser, build_train_datasets
+from picad_tpu.cli.common import (
+    args_to_config,
+    build_parser,
+    build_train_datasets,
+    maybe_initialize_distributed,
+)
 from picad_tpu.train.loop import Trainer
 
 
 def main(argv=None):
     args = build_parser("ucf101").parse_args(argv)
     print(vars(args))
+    maybe_initialize_distributed(args)
     cfg = args_to_config(args, "ucf101")
     labeled, unlabeled, val = build_train_datasets(cfg)
     print(len(labeled), len(unlabeled), len(val))

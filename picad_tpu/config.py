@@ -27,6 +27,16 @@ class DataConfig:
     vskip: int = 2  # temporal stride when sampling
     workers: int = 8  # host decode threads
     prefetch: int = 2  # device-resident batches kept in flight
+    # Pre-decoded .npy video cache (write-through): first touch decodes +
+    # saves, later touches memmap and read only the sampled frames.
+    # Empty = decode every sample like the reference (ucf_dataloader.py:197).
+    decoded_cache_dir: str = ""
+    # In-memory LRU over decoded VideoRecords (bytes; 0 = off).
+    video_cache_bytes: int = 0
+    # TPU-first sample layout: ship cropped uint8, normalize + flip on
+    # device inside the jitted step (identical f32 numerics, ~8x less
+    # H2D).  False reproduces the reference's float sample dict.
+    device_prep: bool = True
     # synthetic backend (hermetic tests / benchmarks)
     synthetic_num_videos: int = 64
     synthetic_video_len: int = 40
@@ -111,6 +121,9 @@ class TrainConfig:
     # is purely a dispatch/utilization win, hence default on.
     fold_flip: bool = True
     log_every_host_transfer: bool = False
+    # Capture a jax.profiler device trace of a few warm train steps of the
+    # first epoch into this directory ('' = off).
+    profile_dir: str = ""
 
     def validate(self) -> None:
         """Fail fast on bad flags — before any (minutes-long) compilation."""

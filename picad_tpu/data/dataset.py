@@ -55,7 +55,14 @@ class ClipDataset:
         with_validity: bool = False,
         seed: int = 0,
         use_native: bool = True,
+        device_prep: bool = False,
     ):
+        """device_prep=True is the TPU-first sample layout: `data` stays
+        cropped uint8 (no /255, no host flip, no `aug_data` key) and the
+        jitted train/val step normalizes and flips on device — bit-
+        identical numerics at 1/8 the H2D bytes and a fraction of the
+        host work.  False reproduces the reference sample dict
+        (ucf_dataloader.py:189) exactly."""
         self.source = source
         self.train = train
         self.height, self.width = clip_shape
@@ -63,6 +70,7 @@ class ClipDataset:
         self.vskip = vskip
         self.with_validity = with_validity
         self.seed = seed
+        self.device_prep = device_prep
         self._epoch = 0
         if use_native:
             from picad_tpu.data import _native
@@ -79,15 +87,23 @@ class ClipDataset:
 
     def _zero_sample(self) -> dict[str, Any]:
         d, h, w = self.depth, self.height, self.width
-        zero_v = np.zeros((d, h, w, 3), dtype=np.float32)
-        zero_m = np.zeros((d, h, w, 1), dtype=np.float32)
-        sample = {
-            "data": zero_v,
-            "aug_data": zero_v,
-            "loc_msk": zero_m,
-            "action": np.int32(0),
-            "label_vid": np.int32(0),
-        }
+        if self.device_prep:
+            sample = {
+                "data": np.zeros((d, h, w, 3), dtype=np.uint8),
+                "loc_msk": np.zeros((d, h, w, 1), dtype=np.uint8),
+                "action": np.int32(0),
+                "label_vid": np.int32(0),
+            }
+        else:
+            zero_v = np.zeros((d, h, w, 3), dtype=np.float32)
+            zero_m = np.zeros((d, h, w, 1), dtype=np.float32)
+            sample = {
+                "data": zero_v,
+                "aug_data": zero_v,
+                "loc_msk": zero_m,
+                "action": np.int32(0),
+                "label_vid": np.int32(0),
+            }
         if self.with_validity:
             sample["mask_cls"] = np.zeros((d, h, w, 1), dtype=np.float32)
         return sample
@@ -143,6 +159,29 @@ class ClipDataset:
                 valid = np.array([s in annot_set for s in span], dtype=np.uint8)
         else:
             valid = np.ones((depth,), dtype=np.uint8)
+
+        if self.device_prep and rec.video.dtype == np.uint8:
+            # uint8 crop-gather only; /255, flip, mask threshold move into
+            # the jitted step (train/step.py prepare_views)
+            data = np.ascontiguousarray(
+                rec.video[span, y : y + self.height, x : x + self.width, :]
+            )
+            mask = rec.mask[span, y : y + self.height, x : x + self.width, :]
+            loc = (
+                (mask > 0) & valid[:, None, None, None].astype(bool)
+            ).astype(np.uint8)
+            sample = {
+                "data": data,
+                "loc_msk": loc,
+                "action": np.int32(rec.label),
+                "label_vid": np.int32(rec.labeled),
+            }
+            if self.with_validity:
+                sample["mask_cls"] = np.broadcast_to(
+                    valid.astype(np.float32)[:, None, None, None],
+                    (depth, self.height, self.width, 1),
+                ).copy()
+            return sample
 
         if self._native is not None and rec.video.dtype == np.uint8:
             data, aug, loc = self._native.assemble_clip(

@@ -47,6 +47,7 @@ class SemiSupervisedBatcher:
         force_stream_flags: bool = False,
         process_index: int | None = None,
         process_count: int | None = None,
+        drop_last: bool = False,
     ):
         """batch_size is the PER-HOST batch.  On multi-host meshes each
         process draws a disjoint strided shard of both datasets
@@ -67,6 +68,11 @@ class SemiSupervisedBatcher:
         # UCF101 reads labeled_vid from ann[5]; JHMDB has no flag and the
         # reference driver forces ones/zeros per stream (main_jhmdb.py:66-70).
         self.force_stream_flags = force_stream_flags
+        # drop_last=False matches the reference DataLoader default
+        # (main_ucf101.py:353-374): the final partial unlabeled batch is
+        # kept, zero-padded to the compiled batch size, and flagged via
+        # the per-row `row_mask` so padded rows drop out of every loss.
+        self.drop_last = drop_last
 
     def _host_shard(self, order: np.ndarray) -> np.ndarray:
         """Strided per-process shard of a shuffled index order."""
@@ -75,8 +81,15 @@ class SemiSupervisedBatcher:
         return order[self.process_index :: self.process_count]
 
     def steps_per_epoch(self) -> int:
-        n = len(self.unlabeled) // max(self.process_count, 1)
-        return max(n // self.half, 1)
+        """Identical on every process (collectives would deadlock on a
+        per-process step count): computed from the LARGEST strided shard
+        (drop_last=False) / the smallest (drop_last=True); short shards
+        zero-pad their tail batches via row_mask."""
+        n, c = len(self.unlabeled), max(self.process_count, 1)
+        if self.drop_last:
+            return max((n // c) // self.half, 1)
+        longest = -(-n // c)  # ceil: process 0's shard
+        return max(-(-longest // self.half), 1)
 
     def epoch(self, epoch: int) -> Iterator[dict[str, np.ndarray]]:
         # the permutation seed is process-independent: every host shuffles
@@ -115,7 +128,16 @@ class SemiSupervisedBatcher:
                         s["label_vid"] = np.int32(1)
                     for s in u_samples:
                         s["label_vid"] = np.int32(0)
+                n_real = len(l_samples) + len(u_samples)
+                template = (u_samples or l_samples)[0]
+                while len(u_samples) < self.half:  # ragged final batch
+                    u_samples.append(
+                        {k: np.zeros_like(v) for k, v in template.items()}
+                    )
                 batch = collate(l_samples + u_samples)
+                row_mask = np.zeros((batch["data"].shape[0],), np.float32)
+                row_mask[:n_real] = 1.0
+                batch["row_mask"] = row_mask
                 perm = rng.permutation(batch["data"].shape[0])
                 yield {k: v[perm] for k, v in batch.items()}
 
@@ -130,11 +152,16 @@ class PrefetchLoader:
         sharding=None,
         prefetch: int = 2,
         transform: Callable[[dict], Any] | None = None,
+        put_fn: Callable[[dict], Any] | None = None,
     ):
+        """put_fn overrides the device placement (e.g. multi-host global
+        batch assembly via parallel.mesh.put_global_batch); default is a
+        jax.device_put with `sharding`."""
         self.iterator = batch_iterator
         self.sharding = sharding
         self.prefetch = prefetch
         self.transform = transform
+        self.put_fn = put_fn
 
     def __iter__(self):
         import jax
@@ -147,7 +174,9 @@ class PrefetchLoader:
                 for batch in self.iterator:
                     if self.transform is not None:
                         batch = self.transform(batch)
-                    if self.sharding is not None:
+                    if self.put_fn is not None:
+                        batch = self.put_fn(batch)
+                    elif self.sharding is not None:
                         batch = jax.device_put(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)

@@ -69,12 +69,17 @@ class VideoMetrics:
         i_over_u = vid_inter / vid_union
         self.video_ious[label] += (i_over_u >= self.iou_threshs).astype(np.float64)
 
-    def summarize(self) -> dict:
+    def summarize(self, nan_safe: bool = False) -> dict:
+        """Reference semantics (evaluate_ucf101.py:184-187) use np.mean, so a
+        class with zero test videos/frames propagates NaN into the headline
+        number.  `nan_safe=True` opts into np.nanmean (skip empty classes);
+        the default matches the reference bit-for-bit."""
         with np.errstate(divide="ignore", invalid="ignore"):
             fAP = self.frame_ious / self.n_tot_frames
             vAP = self.video_ious / self.n_vids
-        fmAP = np.nanmean(fAP, axis=0)
-        vmAP = np.nanmean(vAP, axis=0)
+        mean = np.nanmean if nan_safe else np.mean
+        fmAP = mean(fAP, axis=0)
+        vmAP = mean(vAP, axis=0)
         return {
             "accuracy": self.n_correct / max(float(np.sum(self.n_vids)), 1.0),
             "fmAP": fmAP,
@@ -95,6 +100,7 @@ def evaluate_dataset(
     seg_threshold: float = 0.5,
     verbose: bool = False,
     prediction_log: list | None = None,
+    nan_safe: bool = False,
 ) -> dict:
     """Run the full protocol.
 
@@ -141,7 +147,7 @@ def evaluate_dataset(
         gt_seg = clip_masks.reshape(-1, *clip_masks.shape[2:4], 1).astype(np.int64)
         acc.update(label, pred_label, pred_seg, gt_seg)
 
-    summary = acc.summarize()
+    summary = acc.summarize(nan_safe=nan_safe)
     if verbose:
         print(
             "Accuracy:",

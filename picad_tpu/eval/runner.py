@@ -77,6 +77,7 @@ def sweep_checkpoints(
     clip_batch_size: int = 14,
     prune: bool = True,
     log_predictions: bool = False,
+    nan_safe: bool = False,
 ) -> dict:
     """Evaluate every matching checkpoint; prune to the two best.
 
@@ -106,7 +107,7 @@ def sweep_checkpoints(
         summary = evaluate_dataset(
             forward, dataset, n_classes=n_classes,
             clip_batch_size=clip_batch_size, verbose=True,
-            prediction_log=pred_log,
+            prediction_log=pred_log, nan_safe=nan_safe,
         )
         if pred_log is not None:
             tag = os.path.basename(path)

@@ -88,7 +88,10 @@ def weighted_mse_loss(
 
 
 def weighted_mse_outer(
-    input: jax.Array, target: jax.Array, weight: jax.Array
+    input: jax.Array,
+    target: jax.Array,
+    weight: jax.Array,
+    row_mask: jax.Array | None = None,
 ) -> jax.Array:
     """The reference gv path's value without the B^2 blow-up.
 
@@ -97,10 +100,20 @@ def weighted_mse_outer(
     the mean (main_ucf101.py:130-132 with helpers.py:76).  That mean
     factorizes exactly: mean_{i,j,p}[w[j,p] d[i,p]]
     = mean_p[(mean_j w[j,p]) (mean_i d[i,p])].
+
+    row_mask ((B,), 1.0 = real row) restricts both batch means to real
+    rows, so zero-padded ragged-batch rows drop out exactly as if the
+    batch were physically smaller.
     """
     d = (input - target) ** 2
     d = d.reshape(d.shape[0], *weight.shape[1:])
-    return jnp.mean(jnp.mean(weight, axis=0) * jnp.mean(d, axis=0))
+    if row_mask is None:
+        return jnp.mean(jnp.mean(weight, axis=0) * jnp.mean(d, axis=0))
+    rm = row_mask.reshape(-1, *([1] * (weight.ndim - 1)))
+    n = jnp.maximum(jnp.sum(row_mask), 1.0)
+    w_mean = jnp.sum(weight * rm, axis=0) / n
+    d_mean = jnp.sum(d * rm, axis=0) / n
+    return jnp.mean(w_mean * d_mean)
 
 
 def capsule_margin_loss(labels: jax.Array, classes: jax.Array) -> jax.Array:

@@ -45,6 +45,40 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.device_put(batch, sharding)
 
 
+def put_global_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a global batch from this process's local shard.
+
+    Single-process: a plain sharded device_put.  Multi-process (after
+    `initialize_distributed`): every process holds a disjoint per-host
+    batch (SemiSupervisedBatcher strided shards) and
+    `jax.make_array_from_process_local_data` stitches them into one
+    global jax.Array sharded over the full mesh — a bare device_put of
+    per-host data cannot build a global array across hosts.
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in feed order.
+
+    `make_array_from_process_local_data` places each process's local data
+    on its own devices; concatenating the addressable shards sorted by
+    their global row offset recovers exactly the rows this process fed.
+    """
+    shards = sorted(
+        global_array.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

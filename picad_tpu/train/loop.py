@@ -27,7 +27,13 @@ from picad_tpu.data.loader import PrefetchLoader, SemiSupervisedBatcher, collate
 from picad_tpu.eval.metrics import binary_mask_iou
 from picad_tpu.models.capsules import CapsNet
 from picad_tpu.objectives.ramp_ups import exp_rampup
-from picad_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from picad_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    local_rows,
+    put_global_batch,
+    replicated_sharding,
+)
 from picad_tpu.train.optimizer import ReduceLROnPlateau, make_optimizer
 from picad_tpu.train.state import create_train_state
 from picad_tpu.train.step import make_train_step, make_val_step
@@ -135,6 +141,22 @@ class Trainer:
 
         sd = load_torch_state_dict(path)
         params, stats, n = convert_i3d_backbone(sd)
+        # rgb_charades.pt carries the full I3D: every Unit3D has a conv
+        # kernel + 4 BN tensors; our Mixed_4f-truncated backbone keeps 45
+        # conv layers (tests/test_model_parity.py asserts the same count).
+        # A wrong path or an incompatible state_dict must not silently
+        # fall back to training from scratch.
+        if n == 0:
+            raise ValueError(
+                f"pretrained I3D checkpoint {path!r} yielded 0 matching "
+                "tensors — wrong file or incompatible state_dict"
+            )
+        if n < 45 * 5:
+            raise ValueError(
+                f"pretrained I3D checkpoint {path!r} yielded only {n} "
+                "tensors (expected 225 = 45 Unit3Ds x [conv kernel + 4 BN "
+                "tensors] for a Mixed_4f-truncated I3D)"
+            )
         merged = merge_into_variables(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             params,
@@ -155,16 +177,31 @@ class Trainer:
             self.batcher.epoch(epoch),
             sharding=self.batch_sharding,
             prefetch=cfg.data.prefetch,
+            put_fn=lambda b: put_global_batch(b, self.mesh),
         )
         steps = self.batcher.steps_per_epoch()
         timer = StepTimer(clips_per_step=cfg.bs, n_chips=self.mesh.size)
         running: list[dict] = []
         t0 = time.time()
+        # --profile_dir: trace warm steps [3, 8) of the first epoch run
+        profiling = bool(cfg.profile_dir) and not getattr(
+            self, "_profiled", False
+        )
+        self._profiled = True
+        trace_open = False
         for batch_id, batch in enumerate(loader):
+            if profiling and batch_id == 3:
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_open = True
             self.state, metrics = self.train_step(
                 self.state, batch, epoch_arr, wt_ramp
             )
             running.append(metrics)
+            if trace_open and batch_id == 7:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                trace_open = False
+                print(f"Profiler trace written to {cfg.profile_dir}")
             timer.tick()
             if (batch_id + 1) % cfg.pf == 0:
                 host = {
@@ -188,6 +225,9 @@ class Trainer:
                     ("loss", "loss_seg", "loss_cls", "loss_consistency")
                 }, total_step)
                 self.logger.log("train/acc", {"acc": host["acc"]}, total_step)
+        if trace_open:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {cfg.profile_dir}")
         print("Training time: ", time.time() - t0)
         if not running:
             return float("inf")
@@ -201,11 +241,21 @@ class Trainer:
         total_iou, valid_iou = 0.0, 0
         t0 = time.time()
         n = len(self.val_dataset)
-        bs = cfg.bs
-        for i in range(0, n, bs):  # fixed batch => single compile
-            idx = list(range(i, min(i + bs, n)))
+        bs = cfg.bs  # per-host batch
+        # Multi-host: each process validates its strided shard; the val
+        # step reduces loss/acc over the GLOBAL batch (row-masked), so
+        # metrics come back identical on every process.
+        pidx, pcnt = jax.process_index(), jax.process_count()
+        my = list(range(pidx, n, pcnt))
+        longest_shard = -(-n // pcnt)  # ceil: process 0's shard
+        steps = max(-(-longest_shard // bs), 1)
+        for s in range(steps):  # fixed batch + step count => no deadlock
+            idx = my[s * bs : (s + 1) * bs]
             samples = [self.val_dataset[j] for j in idx]
             n_real = len(samples)
+            if n_real == 0:  # short shard: all-pad step to stay in lockstep
+                template = self.val_dataset[0]
+                samples = [{k: np.zeros_like(v) for k, v in template.items()}]
             while len(samples) < bs:  # zero-pad the ragged final batch
                 samples.append(
                     {k: np.zeros_like(v) for k, v in samples[0].items()}
@@ -213,14 +263,15 @@ class Trainer:
             batch = collate(samples)
             row_mask = np.zeros((bs,), np.float32)
             row_mask[:n_real] = 1.0
-            batch = jax.device_put(batch, self.batch_sharding)
+            gt_np = batch["loc_msk"][..., 0]  # host copy before device_put
+            batch["row_mask"] = row_mask
+            batch = put_global_batch(batch, self.mesh)
             seg_bin, metrics = self.val_step(
-                self.state, batch, jnp.asarray(row_mask)
+                self.state, batch, batch["row_mask"]
             )
             totals.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
-            seg_np = np.asarray(seg_bin)
-            gt_np = np.asarray(batch["loc_msk"])[..., 0]
+            seg_np = local_rows(seg_bin)
             for a in range(n_real):
                 iou = binary_mask_iou(gt_np[a], seg_np[a])
                 if iou == iou:
@@ -261,18 +312,21 @@ class Trainer:
             epochs = tqdm(epochs)
         except ImportError:
             pass
-        for e in epochs:
-            train_loss = self.train_epoch(e)
-            val_loss = self.validate(e)
-            self.state = self.state.replace(
-                epoch=jax.numpy.asarray(e, jax.numpy.int32)
-            )
-            host_state = jax.device_get(self.state)
-            if self.best_val.maybe_save(e, val_loss, host_state):
-                print("Yay!!! Got the val loss down...")
-            if self.best_train.maybe_save(e, train_loss, host_state):
-                print("Yay!!! Got the train loss down...")
-            new_lr = self.scheduler.step(train_loss)
-            if abs(new_lr - self.state.learning_rate()) > 1e-6 * new_lr:
-                self.state = self.state.with_learning_rate(new_lr)
-                print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}")
+        try:
+            for e in epochs:
+                train_loss = self.train_epoch(e)
+                val_loss = self.validate(e)
+                self.state = self.state.replace(
+                    epoch=jax.numpy.asarray(e, jax.numpy.int32)
+                )
+                host_state = jax.device_get(self.state)
+                if self.best_val.maybe_save(e, val_loss, host_state):
+                    print("Yay!!! Got the val loss down...")
+                if self.best_train.maybe_save(e, train_loss, host_state):
+                    print("Yay!!! Got the train loss down...")
+                new_lr = self.scheduler.step(train_loss)
+                if abs(new_lr - self.state.learning_rate()) > 1e-6 * new_lr:
+                    self.state = self.state.with_learning_rate(new_lr)
+                    print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}")
+        finally:
+            self.logger.close()

@@ -52,6 +52,27 @@ from picad_tpu.objectives.losses import (
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
 
 
+def prepare_views(batch):
+    """(data, aug_data, seg_gt) as f32, normalizing/flipping on device.
+
+    Two sample layouts (data/dataset.py `device_prep`):
+    - reference layout: float32 `data` + precomputed `aug_data`;
+    - TPU layout: uint8 `data`, no `aug_data` key — /255 and the
+      horizontal flip (ucf_dataloader.py:170-175) fuse into the step,
+      cutting H2D bytes ~8x.  Numerics identical (same f32 ops).
+    """
+    data = batch["data"]
+    if data.dtype == jnp.uint8:
+        data = data.astype(jnp.float32) / 255.0
+    aug = batch.get("aug_data")
+    if aug is None:
+        aug = jnp.flip(data, axis=3)
+    elif aug.dtype == jnp.uint8:
+        aug = aug.astype(jnp.float32) / 255.0
+    seg_gt = batch["loc_msk"][..., 0].astype(jnp.float32)  # (B, 8, H, W)
+    return data, aug, seg_gt
+
+
 def _masked_bce(logits, targets, row_mask):
     """BCEWithLogitsLoss over rows where row_mask == 1."""
     x, z = logits, targets
@@ -130,12 +151,22 @@ def make_train_step(
         return out, mutated["batch_stats"]
 
     def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2):
-        data = batch["data"]
-        aug = batch["aug_data"]
+        data, aug, seg_gt = prepare_views(batch)
         action = batch["action"].astype(jnp.int32)
-        seg_gt = batch["loc_msk"][..., 0]  # (B, 8, H, W)
         flags = batch["label_vid"].astype(jnp.float32)
-        lm = flags  # 1.0 for labeled rows
+        # row_mask marks real rows: the ragged final batch of an epoch is
+        # zero-padded to the compiled batch size (reference DataLoader
+        # keeps partial batches, drop_last=False) and padded rows must not
+        # contribute to any reduction.  Known deviation: BatchNorm batch
+        # statistics on that one batch include the zero rows (the
+        # reference normalizes over the true smaller batch); with BN
+        # momentum 0.01 and one ragged batch per epoch the running-stat
+        # effect is negligible.
+        row_mask = batch.get("row_mask")
+        if row_mask is None:
+            row_mask = jnp.ones_like(flags)
+        row_mask = row_mask.astype(jnp.float32)
+        lm = flags * row_mask  # 1.0 for real labeled rows
 
         if fold_flip:
             # First half = original view, second half = flipped view; the
@@ -166,10 +197,18 @@ def make_train_step(
             scores, action, lm, loss_cfg.spread_m_min, loss_cfg.spread_m_max
         )
 
-        # ---- consistency (all rows) ----
+        # ---- consistency (all REAL rows; reference applies it to every
+        # row, labeled included, main_ucf101.py:100-148) ----
+        rm_b = row_mask.reshape(-1, *([1] * (output.ndim - 1)))
+
+        def masked_mean(x):
+            per_elem = x.size // x.shape[0]
+            denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per_elem
+            return jnp.sum(x * rm_b) / denom
+
         flipped_pred = jnp.flip(flip_op, axis=3)  # undo spatial flip
         diff_sq = (flipped_pred - output) ** 2
-        loss_simple_l2 = jnp.mean(diff_sq)
+        loss_simple_l2 = masked_mean(diff_sq)
 
         cons = None
         if loss_cfg.bv:
@@ -186,8 +225,8 @@ def make_train_step(
                 window=loss_cfg.n_frames,
                 use_sigmoid=loss_cfg.predict_maps,
             )
-            loss_var_1 = jnp.mean(clck * diff_sq)
-            loss_var_2 = jnp.mean(jnp.flip(anticlck, axis=1) * diff_sq)
+            loss_var_1 = masked_mean(clck * diff_sq)
+            loss_var_2 = masked_mean(jnp.flip(anticlck, axis=1) * diff_sq)
             cons_bv = wt_ramp * (loss_var_1 + loss_var_2) + (
                 1.0 - wt_ramp
             ) * loss_simple_l2
@@ -200,7 +239,9 @@ def make_train_step(
                     conf_thresh_upper=loss_cfg.upper_thresh,
                 )
             )
-            cons_gv = weighted_mse_outer(flipped_pred, output, grad_w)
+            cons_gv = weighted_mse_outer(
+                flipped_pred, output, grad_w, row_mask=row_mask
+            )
             if loss_cfg.bv:
                 cons = loss_cfg.bv_wt * cons_bv + loss_cfg.gv_wt * cons_gv
             else:
@@ -213,9 +254,10 @@ def make_train_step(
             + loss_cfg.wt_cls * cls_loss
             + loss_cfg.wt_cons * cons
         )
-        acc = jnp.mean(
-            (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(jnp.float32)
+        correct = (jnp.argmax(scores, axis=1) == action.reshape(-1)).astype(
+            jnp.float32
         )
+        acc = jnp.sum(correct * row_mask) / jnp.maximum(jnp.sum(row_mask), 1.0)
         metrics = {
             "loss": total,
             "loss_seg": loc_loss,
@@ -259,9 +301,8 @@ def make_val_step(model, loss_cfg: LossConfig):
     loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
 
     def val_step(state, batch, row_mask):
-        data = batch["data"]
+        data, _, seg_gt = prepare_views(batch)
         action = batch["action"].astype(jnp.int32)
-        seg_gt = batch["loc_msk"][..., 0]
         b = data.shape[0]
 
         seg, scores, _ = model.apply(

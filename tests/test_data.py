@@ -73,6 +73,36 @@ def test_batcher_composition():
         assert batch["label_vid"].sum() == 2
 
 
+def test_batcher_keeps_ragged_final_batch():
+    """drop_last=False (reference DataLoader default): the final partial
+    unlabeled batch is kept, zero-padded, and row-masked."""
+    lab = _small_ds(labeled=1.0, seed=1)          # 6 videos
+    unl = _small_ds(n=7, labeled=0.0, seed=2)     # 7 -> 3 full + 1 ragged
+    b = SemiSupervisedBatcher(lab, unl, batch_size=4, seed=0, workers=2)
+    assert b.steps_per_epoch() == 4  # ceil(7 / 2)
+    batches = list(b.epoch(1))
+    assert len(batches) == 4
+    total_real = 0
+    for batch in batches:
+        assert batch["data"].shape[0] == 4
+        assert batch["row_mask"].shape == (4,)
+        real = batch["row_mask"].astype(bool)
+        total_real += int(real.sum())
+        # padded rows are all-zero and flagged unlabeled
+        assert batch["data"][~real].sum() == 0
+        assert batch["label_vid"][~real].sum() == 0
+    # 4 batches x 2 labeled + 7 unlabeled = 15 real rows
+    assert total_real == 4 * 2 + 7
+
+    b_drop = SemiSupervisedBatcher(
+        lab, unl, batch_size=4, seed=0, workers=2, drop_last=True
+    )
+    assert b_drop.steps_per_epoch() == 3
+    assert all(
+        bt["row_mask"].all() for bt in b_drop.epoch(1)
+    )
+
+
 def test_batcher_force_stream_flags():
     lab = _small_ds(labeled=0.0, seed=1)  # flags all 0 in the records
     unl = _small_ds(labeled=1.0, seed=2)  # flags all 1 in the records
@@ -117,10 +147,12 @@ def test_video_metrics_hand_computed():
     pred = np.zeros_like(gt)
     pred[0, :2, :2] = 1  # perfect on frame 0
     m.update(label=0, pred_label=0, pred_seg=pred, gt_seg=gt)
-    s = m.summarize()
+    s = m.summarize(nan_safe=True)
     assert s["accuracy"] == 1.0
     assert s["fmAP@0.5"] == pytest.approx(1.0)  # class 1 absent -> nanmean
     assert s["vmAP@0.5"] == pytest.approx(1.0)
+    # reference semantics (np.mean): empty class propagates NaN
+    assert np.isnan(m.summarize()["fmAP@0.5"])
 
 
 def test_rasterize_boxes():
@@ -165,3 +197,26 @@ def test_batcher_multihost_sharding_is_disjoint():
         seen.append(set(int(i) for i in order))
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == set(range(len(unl)))
+
+
+def test_device_prep_layout_equivalence():
+    """uint8 device_prep sample -> prepare_views == reference float sample."""
+    import jax.numpy as jnp
+
+    from picad_tpu.train.step import prepare_views
+
+    src = SyntheticVideoSource(2, video_len=24, height=120, width=160, seed=9)
+    ref = ClipDataset(src, train=True, clip_shape=(96, 96), seed=3)
+    dev = ClipDataset(src, train=True, clip_shape=(96, 96), seed=3,
+                      device_prep=True)
+    a, b = ref[0], dev[0]
+    assert b["data"].dtype == np.uint8
+    assert "aug_data" not in b
+    batch = {
+        "data": jnp.asarray(b["data"][None]),
+        "loc_msk": jnp.asarray(b["loc_msk"][None]),
+    }
+    data, aug, seg_gt = prepare_views(batch)
+    np.testing.assert_allclose(np.asarray(data)[0], a["data"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aug)[0], a["aug_data"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(seg_gt)[0], a["loc_msk"][..., 0])

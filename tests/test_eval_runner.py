@@ -56,7 +56,9 @@ def test_evaluate_dataset_perfect_oracle():
         # accuracy is not the target of this test)
         return seg, scores
 
-    summary = evaluate_dataset(oracle_forward, ds, n_classes=5, clip_batch_size=4)
+    summary = evaluate_dataset(
+        oracle_forward, ds, n_classes=5, clip_batch_size=4, nan_safe=True
+    )
     assert summary["fmAP@0.5"] == pytest.approx(1.0, abs=0.05)
     assert summary["vmAP@0.5"] == pytest.approx(1.0, abs=0.05)
 

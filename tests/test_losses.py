@@ -102,3 +102,24 @@ def test_ramp_ups():
     assert ramp(5) == pytest.approx(float(np.exp(-5.0 * (1 - 5 / 11) ** 2)), rel=1e-6)
     lin = linear_rampup(10)
     assert lin(5) == 0.5 and lin(20) == 1.0
+
+
+def test_weighted_mse_outer_row_mask_equals_smaller_batch():
+    """Masked padded batch == the physically smaller batch (ragged final
+    training batch, reference DataLoader drop_last=False)."""
+    B, real = 4, 3
+    inp = RNG.standard_normal((B, 1, 8, 4, 4)).astype(np.float32)
+    tgt = RNG.standard_normal((B, 1, 8, 4, 4)).astype(np.float32)
+    w = RNG.uniform(size=(B, 8, 4, 4)).astype(np.float32)
+    inp[real:] = 0
+    tgt[real:] = 0
+    w[real:] = 0
+    rm = np.zeros((B,), np.float32)
+    rm[:real] = 1.0
+    masked = weighted_mse_outer(
+        jnp.asarray(inp), jnp.asarray(tgt), jnp.asarray(w), row_mask=jnp.asarray(rm)
+    )
+    small = weighted_mse_outer(
+        jnp.asarray(inp[:real]), jnp.asarray(tgt[:real]), jnp.asarray(w[:real])
+    )
+    np.testing.assert_allclose(float(masked), float(small), rtol=1e-6)

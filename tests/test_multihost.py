@@ -1,0 +1,138 @@
+"""Two-process CPU bring-up of the multi-host path.
+
+Spawns 2 processes that jax.distributed.initialize against a local
+coordinator, each with 2 virtual CPU devices (4 global), then runs the
+REAL pipeline pieces across them: SemiSupervisedBatcher per-process
+strided shards -> put_global_batch (make_array_from_process_local_data)
+-> the actual make_train_step (tiny stand-in model with the CapsNet
+call signature) jitted over the 4-device global mesh.  Asserts both
+processes report the SAME loss (global batch + replicated grads), which
+a per-host device_put could not produce.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+DRIVER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f'127.0.0.1:{port}', num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4  # 2 procs x 2 local CPU devices
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import numpy as np
+    from picad_tpu.config import LossConfig
+    from picad_tpu.data.loader import SemiSupervisedBatcher
+    from picad_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, put_global_batch, replicated_sharding,
+    )
+    from picad_tpu.train.optimizer import make_optimizer
+    from picad_tpu.train.state import create_train_state
+    from picad_tpu.train.step import make_train_step
+
+    class TinyNet(nn.Module):
+        # CapsNet call signature; a conv + heads, enough to exercise the
+        # step/sharding machinery without a 15-minute CPU compile.
+        num_classes: int = 24
+        @nn.compact
+        def __call__(self, img, classification, concat_labels, epoch,
+                     thresh_epoch, train=False):
+            b, t, h, w, _ = img.shape
+            y = nn.Conv(8, (1, 3, 3), padding='SAME')(img)
+            y = jax.nn.relu(y)
+            seg = nn.Conv(1, (1, 3, 3), padding='SAME')(y)[..., 0]
+            scores = jnp.mean(y, axis=(1, 2, 3)) @ self.param(
+                'wcls', nn.initializers.normal(0.1), (8, self.num_classes))
+            return seg, scores, None
+
+    class DS:
+        def __init__(self, n, labeled):
+            self.n, self.labeled = n, labeled
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                'data': rng.random((8, 16, 16, 3), dtype=np.float32),
+                'aug_data': rng.random((8, 16, 16, 3), dtype=np.float32),
+                'loc_msk': (rng.random((8, 16, 16, 1)) > 0.5).astype(np.float32),
+                'action': np.int32(i % 24),
+                'label_vid': np.int32(self.labeled),
+            }
+
+    mesh = create_mesh()  # all 4 global devices
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+    model = TinyNet()
+    opt = make_optimizer(1e-3)
+    state = create_train_state(model, opt, rng=jax.random.PRNGKey(0),
+                               sample_input_shape=(1, 8, 16, 16, 3))
+    state = jax.device_put(state, repl)
+    step = jax.jit(
+        make_train_step(model, opt, LossConfig(bv=True, n_frames=3),
+                        fold_flip=False),
+        in_shardings=(repl, shard, None, None),
+        out_shardings=(repl, repl),
+    )
+    # 7 unlabeled -> uneven strided shards (4 vs 3) exercises the
+    # lockstep steps_per_epoch + ragged row_mask padding.
+    batcher = SemiSupervisedBatcher(DS(6, 1), DS(7, 0), batch_size=4, seed=0,
+                                    workers=1)
+    assert batcher.steps_per_epoch() == 2  # ceil(ceil(7/2)/2)
+    losses = []
+    for batch in batcher.epoch(1):
+        gb = put_global_batch(batch, mesh)
+        assert gb['data'].shape[0] == 8  # 4 per-host rows x 2 processes
+        state, metrics = step(
+            state, gb, jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(0.5, jnp.float32),
+        )
+        losses.append(float(metrics['loss']))
+    print('MULTIHOST_OK', pid, losses)
+    """
+)
+
+
+@pytest.mark.heavy
+def test_two_process_cpu_global_batch(tmp_path):
+    driver = tmp_path / "driver.py"
+    driver.write_text(DRIVER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(driver), str(pid), port],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        assert "MULTIHOST_OK" in out
+    # identical global loss on both processes
+    line0 = [l for l in outs[0][0].splitlines() if "MULTIHOST_OK" in l][0]
+    line1 = [l for l in outs[1][0].splitlines() if "MULTIHOST_OK" in l][0]
+    assert line0.split(" ", 2)[2] == line1.split(" ", 2)[2]
