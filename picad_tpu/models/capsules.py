@@ -36,12 +36,9 @@ import jax.numpy as jnp
 
 from picad_tpu.models.i3d import InceptionI3d
 from picad_tpu.models.layers import Dropout3d
-from picad_tpu.ops.convops import (
-    conv_nd,
-    conv_transpose_nd,
-    conv_transpose_single_channel,
-)
+from picad_tpu.ops.convops import conv_nd, conv_transpose_nd
 from picad_tpu.ops.em_routing import em_routing
+from picad_tpu.ops.fused_head import fused_decoder_head
 
 
 def _torch_conv_uniform(fan_in: int):
@@ -223,8 +220,10 @@ class CapsNet(nn.Module):
     # then computes per-view statistics (see TorchBatchNorm.stats_groups),
     # keeping exact two-forward reference numerics at one-dispatch cost.
     bn_groups: int = 1
-    pallas_head: bool = False  # Pallas seg-head stencil (off: XLA conv
-    # measured faster in-context; kernel kept for larger configs)
+    # Fuse upsample4+Dropout3d+smooth into one exact op (ops/fused_head.py).
+    # False = the literal ConvT chain (parity baseline; also the reference
+    # execution order, main path is tested equal to it).
+    fused_head: bool = True
     # rematerialize the I3D encoder in the backward pass: trades ~30%
     # extra encoder FLOPs for not storing its activations — enables much
     # larger per-chip batches (jax.checkpoint / flax nn.remat)
@@ -341,27 +340,40 @@ class CapsNet(nn.Module):
         c112 = relu(conv("conv112", cross112, 64, 64, 3, nd=3))
         x = jnp.concatenate([x, c112], axis=-1)
 
-        x = ct("upsample4", x, 128, 128, 3, 2, 1, 1, nd=3)  # (B,8,224,224,128)
-        x = Dropout3d(self.dropout_rate, name="drop_dec")(x, deterministic=not train)
-        # smooth: ConvT3d 128->1 k3 s1 p1 — same-size.  The 1-channel
-        # output is lane-hostile for XLA's conv emitter (slowest op in the
-        # step profile); on TPU we use the fused Pallas stencil kernel
-        # (ops/pallas_smooth.py), elsewhere the direct conv.
+        # ---- head: upsample4 -> Dropout3d -> smooth (ref :368-374,
+        # :504-509).  The chain is affine, so by default it runs as ONE
+        # fused op (ops/fused_head.py): exact same numerics, no
+        # (B,8,224,224,128) intermediate, ~30x fewer FLOPs than the
+        # naive ConvT pair.  fused_head=False keeps the literal chain
+        # (the parity baseline the fusion is tested against).
+        up4_k = self.param("upsample4_kernel", _normal(0.02), (3, 3, 3, 128, 128))
+        up4_b = self.param(
+            "upsample4_bias", _torch_conv_uniform(128 * 27), (128,)
+        )
         sk = self.param("smooth_kernel", _normal(0.02), (3, 3, 3, 128, 1))
         sb = self.param("smooth_bias", _torch_conv_uniform(1 * 27), (1,))
-        use_pallas = (
-            self.pallas_head
-            and jax.default_backend() == "tpu"
-            and H_in % 16 == 0
-            and W_in % 16 == 0
-        )
-        if use_pallas:
-            from picad_tpu.ops.pallas_smooth import smooth_head
 
-            seg = smooth_head(x.astype(dt), sk.astype(dt)) + sb
+        if self.fused_head:
+            if train and self.dropout_rate > 0.0:
+                keep = 1.0 - self.dropout_rate
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, p=keep, shape=(b, 128))
+                drop_scale = mask.astype(jnp.float32) / keep
+            else:
+                drop_scale = jnp.ones((b, 128), jnp.float32)
+            seg = fused_decoder_head(
+                x.astype(dt), up4_k, up4_b, sk, sb, drop_scale
+            )
         else:
+            y = (
+                conv_transpose_nd(x.astype(dt), up4_k.astype(dt), 2, 1, 1)
+                + up4_b
+            )  # (B,8,224,224,128)
+            y = Dropout3d(self.dropout_rate, name="drop_dec")(
+                y, deterministic=not train
+            )
             seg = (
-                conv_transpose_nd(x.astype(dt), sk.astype(dt), 1, 1, 0)[..., 0]
+                conv_transpose_nd(y.astype(dt), sk.astype(dt), 1, 1, 0)[..., 0]
                 + sb
             )
 

@@ -24,6 +24,7 @@ Semantics matched to the reference (cited file:line are in /root/reference):
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -146,62 +147,92 @@ def conv_transpose_nd(
     )
 
 
-def conv_transpose_single_channel(
-    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
-) -> jax.Array:
-    """Stride-1, pad-1 ConvTranspose3d with ONE output channel, fast path.
-
-    A direct Cout=1 convolution leaves 127/128 vector lanes idle (XLA lays
-    the single channel on the minor dim) — measured 7x slower than
-    bandwidth allows.  Reformulation: contract channels first on the MXU,
-    z[..., tap] = x . K[c, tap] over all 27 taps at once, then accumulate
-    the 27 spatially shifted tap planes.  Identical math to
-    conv_transpose_nd(x, kernel, 1, 1, 0) for kernel (3, 3, 3, C, 1); the
-    backward (via autodiff of this formulation) is equally lane-friendly.
-
-    x: (B, T, H, W, C); kernel: (3, 3, 3, C, 1).  Returns (B, T, H, W).
-    """
-    B, T, H, W, C = x.shape
-    kt, kh, kw, kc, ko = kernel.shape
-    assert (kt, kh, kw, ko) == (3, 3, 3, 1) and kc == C, kernel.shape
-    kf = jnp.flip(kernel[..., 0], axis=(0, 1, 2))  # conv orientation
-    K = kf.reshape(27, C).T  # (C, 27)
-    z = jax.lax.dot_general(
-        x,
-        K.astype(x.dtype),
-        dimension_numbers=(((4,), (0,)), ((), ())),
-    )  # (B, T, H, W, 27)
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    y = jnp.zeros((B, T, H, W), x.dtype)
-    for dt in range(3):
-        for dh in range(3):
-            for dw in range(3):
-                tap = (dt * 3 + dh) * 3 + dw
-                y = y + zp[:, dt : dt + T, dh : dh + H, dw : dw + W, tap]
-    if bias is not None:
-        y = y + bias.reshape(())
-    return y
-
-
-def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
-    """Max pool with TF-SAME *zero* padding, channels-last.
-
-    The reference zero-pads then max-pools (models/pytorch_i3d.py:21-45).
-    Zero padding (not -inf) is part of its numerics; its pool inputs are
-    post-ReLU so the two coincide there, but we keep the exact semantics.
-    """
+def _max_pool_fwd_raw(x: jax.Array, kernel, stride) -> jax.Array:
     n = x.ndim - 2
     kernel = _tuple(kernel, n)
     stride = _tuple(stride, n)
     pads = [(0, 0)] + [
         same_pads(x.shape[1 + i], kernel[i], stride[i]) for i in range(n)
     ] + [(0, 0)]
-    x = jnp.pad(x, pads, mode="constant", constant_values=0.0)
+    xp = jnp.pad(x, pads, mode="constant", constant_values=0.0)
     return lax.reduce_window(
-        x,
+        xp,
         -jnp.inf,
         lax.max,
         window_dimensions=(1, *kernel, 1),
         window_strides=(1, *stride, 1),
         padding="VALID",
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
+    """Max pool with TF-SAME *zero* padding, channels-last.
+
+    The reference zero-pads then max-pools (models/pytorch_i3d.py:21-45).
+    Zero padding (not -inf) is part of its numerics; its pool inputs are
+    post-ReLU so the two coincide there, but we keep the exact semantics.
+
+    Backward: XLA's select-and-scatter lowering is the slowest op family
+    in the step profile (~10 ms/step on TPU at the reference config), so
+    the VJP is a tap loop instead: grad[i] = sum over windows w
+    containing i of 1[x[i] == max(w)] * g[w].  This is "all-max"
+    subgradient routing vs torch's/select-and-scatter's first-max; the
+    two differ only on in-window ties, which in this architecture occur
+    only at ReLU zeros — positions whose gradient the preceding ReLU's
+    own backward zeroes anyway — so end-to-end gradients are unchanged
+    (ties between equal positive activations have measure zero).
+    """
+    return _max_pool_fwd_raw(x, kernel, stride)
+
+
+def _max_pool_fwd(x, kernel, stride):
+    y = _max_pool_fwd_raw(x, kernel, stride)
+    return y, (x, y)
+
+
+def _max_pool_bwd(kernel, stride, res, g):
+    x, y = res
+    n = x.ndim - 2
+    kernel = _tuple(kernel, n)
+    stride = _tuple(stride, n)
+    pads = [same_pads(x.shape[1 + i], kernel[i], stride[i]) for i in range(n)]
+    # Dilate y/g back onto the padded-input grid (window w lives at
+    # w * stride), then for each tap offset compare x against the
+    # window max and route the gradient.
+    ysh = y.shape
+    dil = [(0, 0, 0)] + [(0, 0, stride[i] - 1) for i in range(n)] + [(0, 0, 0)]
+    neg = jnp.array(-jnp.inf, y.dtype)
+    yd = lax.pad(y, neg, dil)  # -inf between windows: never matches
+    gd = lax.pad(g, jnp.array(0.0, g.dtype), dil)
+    # pad so that every tap shift is a valid slice on the padded-x grid
+    xp_pads = [(0, 0)] + [
+        (pads[i][0], pads[i][1]) for i in range(n)
+    ] + [(0, 0)]
+    xp = jnp.pad(x, xp_pads)
+    full = [(0, 0)] + [
+        (kernel[i] - 1, kernel[i] - 1) for i in range(n)
+    ] + [(0, 0)]
+    ydf = jnp.pad(yd, full, constant_values=-jnp.inf)
+    gdf = jnp.pad(gd, full, constant_values=0.0)
+
+    import itertools as _it
+
+    grad_xp = jnp.zeros(xp.shape, jnp.float32)
+    sp = xp.shape[1 : 1 + n]
+    for taps in _it.product(*[range(k) for k in kernel]):
+        # window start j - tap on the dilated grid; +(k-1) pad offset
+        idx = (slice(None),) + tuple(
+            slice(kernel[i] - 1 - taps[i], kernel[i] - 1 - taps[i] + sp[i])
+            for i in range(n)
+        ) + (slice(None),)
+        match = (xp == ydf[idx]).astype(jnp.float32)
+        grad_xp = grad_xp + match * gdf[idx].astype(jnp.float32)
+    # strip the zero padding
+    unpad = (slice(None),) + tuple(
+        slice(pads[i][0], pads[i][0] + x.shape[1 + i]) for i in range(n)
+    ) + (slice(None),)
+    return (grad_xp[unpad].astype(x.dtype),)
+
+
+max_pool_same_zero_pad.defvjp(_max_pool_fwd, _max_pool_bwd)

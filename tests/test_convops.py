@@ -117,14 +117,53 @@ def test_maxpool_same_zero_pad_matches_torch(kernel, stride):
     np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref, rtol=0, atol=0)
 
 
-def test_conv_transpose_single_channel_matches_general():
-    from picad_tpu.ops.convops import conv_transpose_single_channel
+def test_max_pool_custom_vjp_matches_select_and_scatter():
+    """Tap-loop VJP == XLA select-and-scatter on tie-free inputs (ties
+    only matter at ReLU zeros, where the preceding ReLU backward zeroes
+    the gradient anyway — see max_pool_same_zero_pad docstring)."""
+    import jax
+    from jax import lax
 
-    x = RNG.standard_normal((2, 4, 6, 6, 16)).astype(np.float32)
-    k = RNG.standard_normal((3, 3, 3, 16, 1)).astype(np.float32) * 0.1
-    b = np.float32(0.37)
-    ref = conv_transpose_nd(jnp.asarray(x), jnp.asarray(k), 1, 1, 0)[..., 0] + b
-    out = conv_transpose_single_channel(
-        jnp.asarray(x), jnp.asarray(k), jnp.asarray([b])
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    from picad_tpu.ops.convops import max_pool_same_zero_pad, same_pads
+
+    rng = np.random.default_rng(11)
+    for shape, k, s in [
+        ((2, 4, 9, 9, 6), (3, 3, 3), (1, 1, 1)),
+        ((2, 4, 9, 9, 6), (1, 3, 3), (1, 2, 2)),
+        ((2, 5, 8, 8, 4), (3, 3, 3), (2, 1, 1)),
+        ((1, 4, 7, 7, 3), (2, 2, 2), (2, 2, 2)),
+    ]:
+        # distinct values => no ties anywhere (incl. vs pad zeros)
+        x = rng.permutation(np.arange(1, np.prod(shape) + 1)).reshape(
+            shape
+        ).astype(np.float32)
+        x = jnp.asarray(x)
+
+        def loss_new(v):
+            return jnp.sum(max_pool_same_zero_pad(v, k, s) ** 2)
+
+        def ref_pool(v):
+            n = v.ndim - 2
+            pads = [(0, 0)] + [
+                same_pads(v.shape[1 + i], k[i], s[i]) for i in range(n)
+            ] + [(0, 0)]
+            vp = jnp.pad(v, pads)
+            return lax.reduce_window(
+                vp, -jnp.inf, lax.max,
+                window_dimensions=(1, *k, 1),
+                window_strides=(1, *s, 1), padding="VALID",
+            )
+
+        def loss_ref(v):
+            return jnp.sum(ref_pool(v) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(max_pool_same_zero_pad(x, k, s)),
+            np.asarray(ref_pool(x)),
+        )
+        g_new = jax.grad(loss_new)(x)
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_ref), rtol=1e-6,
+            err_msg=f"{k} {s}",
+        )
