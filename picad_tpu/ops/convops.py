@@ -165,7 +165,6 @@ def _max_pool_fwd_raw(x: jax.Array, kernel, stride) -> jax.Array:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
     """Max pool with TF-SAME *zero* padding, channels-last.
 
@@ -173,16 +172,29 @@ def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
     Zero padding (not -inf) is part of its numerics; its pool inputs are
     post-ReLU so the two coincide there, but we keep the exact semantics.
 
-    Backward: XLA's select-and-scatter lowering is the slowest op family
-    in the step profile (~10 ms/step on TPU at the reference config), so
-    the VJP is a tap loop instead: grad[i] = sum over windows w
-    containing i of 1[x[i] == max(w)] * g[w].  This is "all-max"
-    subgradient routing vs torch's/select-and-scatter's first-max; the
-    two differ only on in-window ties, which in this architecture occur
-    only at ReLU zeros — positions whose gradient the preceding ReLU's
-    own backward zeroes anyway — so end-to-end gradients are unchanged
-    (ties between equal positive activations have measure zero).
+    Backward, measured on TPU at the reference config:
+    - stride-1 pools (the Inception-branch 3x3x3 pools): XLA's
+      select-and-scatter lowering costs ~8 ms/step; a tap-loop VJP
+      (`grad[i] = sum over windows w containing i of
+      1[x[i] == max(w)] * g[w]`) is several times faster, so they route
+      through `_max_pool_tap_vjp`.  This is "all-max" subgradient
+      routing vs first-max; the two differ only on in-window ties,
+      which here occur only at ReLU zeros — positions whose gradient
+      the preceding ReLU's own backward zeroes anyway (ties between
+      equal positive activations have measure zero).
+    - strided pools: the tap VJP needs interior-dilated pads of y/g
+      which XLA materializes expensively (~8 ms each at 113^2) —
+      select-and-scatter wins there, so they keep the default grad.
     """
+    n = x.ndim - 2
+    stride_t = _tuple(stride, n)
+    if all(s == 1 for s in stride_t):
+        return _max_pool_tap_vjp(x, _tuple(kernel, n), stride_t)
+    return _max_pool_fwd_raw(x, kernel, stride)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_tap_vjp(x: jax.Array, kernel, stride) -> jax.Array:
     return _max_pool_fwd_raw(x, kernel, stride)
 
 
@@ -235,4 +247,4 @@ def _max_pool_bwd(kernel, stride, res, g):
     return (grad_xp[unpad].astype(x.dtype),)
 
 
-max_pool_same_zero_pad.defvjp(_max_pool_fwd, _max_pool_bwd)
+_max_pool_tap_vjp.defvjp(_max_pool_fwd, _max_pool_bwd)

@@ -98,6 +98,18 @@ def _raw_fused(x, k1, k2, drop_scale):
         return jnp.einsum("bc,bc->b", x.astype(f32), Kc)
 
     dt = x.dtype
+    if (
+        d == 3
+        and jax.default_backend() == "tpu"
+        and sp[1] % 16 == 0
+        and sp[1] >= 18
+        and x.shape[-1] % 128 == 0  # full lane tiles for the VMEM slab
+    ):
+        # TPU: the Pallas kernel keeps the (B, *sp, 125) tap tensor in
+        # VMEM instead of HBM (ops/pallas_fused_head.py).
+        from picad_tpu.ops.pallas_fused_head import composite_convt
+
+        return composite_convt(x, Kc)
     # Pad x BEFORE the tap GEMM: x is ~tap-count smaller than the tap
     # tensor, and GEMM-of-zero-rows = 0, so the einsum output IS the
     # padded tap tensor — no separate full-size pad materialization
