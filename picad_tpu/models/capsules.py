@@ -260,11 +260,14 @@ class CapsNet(nn.Module):
             bn_groups=self.bn_groups,
         )(img, train)
 
-        x = Dropout3d(self.dropout_rate, name="drop_enc")(x, deterministic=not train)
-
         b = x.shape[0]
         h28, w28 = H_in // 8, W_in // 8  # 28x28 at the reference size
         x = x.reshape(b, h28, w28, 832)  # T=1 at Mixed_4f
+        # channelwise dropout AFTER the 4-D reshape: identical semantics
+        # (mask is per (sample, channel) either way), but the 5-D site
+        # anchored a pathological batch-second-minor relayout fusion
+        # (~5 ms/step in the device trace)
+        x = Dropout3d(self.dropout_rate, name="drop_enc")(x, deterministic=not train)
         cross28 = x
         x = PrimaryCaps(32, P, 9, compute_dtype=dt, name="primary_caps")(x)
         # caps_reorder (ref :399-410) is an effective identity for this
