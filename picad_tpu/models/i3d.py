@@ -146,7 +146,11 @@ class InceptionModule(nn.Module):
         b1 = Unit3D(oc[2], (3, 3, 3), name="b1b", **kw)(b1, train)
         b2 = Unit3D(oc[3], (1, 1, 1), name="b2a", **kw)(x, train)
         b2 = Unit3D(oc[4], (3, 3, 3), name="b2b", **kw)(b2, train)
-        b3 = max_pool_same_zero_pad(x, (3, 3, 3), (1, 1, 1))
+        # T=1: a temporal pool window over zero padding is the identity on
+        # post-ReLU (>= 0) inputs — drop to a 2-D pool (3x fewer taps in
+        # the tap-loop backward too)
+        pool_k = (1, 3, 3) if x.shape[1] == 1 else (3, 3, 3)
+        b3 = max_pool_same_zero_pad(x, pool_k, (1, 1, 1))
         b3 = Unit3D(oc[5], (1, 1, 1), name="b3b", **kw)(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
