@@ -14,6 +14,7 @@ from picad_tpu.ops.convops import (
     same_pads,
 )
 from picad_tpu.ops.em_routing import em_routing
+from picad_tpu.ops.fused_head import fused_decoder_head
 from picad_tpu.ops.masks import (
     pixelwise_cyclic_variance,
     pixelwise_gradient,

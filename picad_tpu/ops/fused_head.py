@@ -103,6 +103,8 @@ def _raw_fused(x, k1, k2, drop_scale):
         and jax.default_backend() == "tpu"
         and sp[1] % 16 == 0
         and sp[1] >= 18
+        and sp[2] in (24, 112)  # validated widths; Mosaic rejects the
+        # tap-GEMM contraction at some others (e.g. W=48)
         and x.shape[-1] % 128 == 0  # full lane tiles for the VMEM slab
     ):
         # TPU: the Pallas kernel keeps the (B, *sp, 125) tap tensor in
