@@ -312,6 +312,20 @@ class CapsNet(nn.Module):
             kw = self.param(f"{name}_kernel", _normal(0.02), kshape)
             fan_in = cout * kernel**nd  # torch fan-in for ConvTranspose bias
             kb = self.param(f"{name}_bias", _torch_conv_uniform(fan_in), (cout,))
+            if (
+                nd == 3
+                and x.shape[1] == 1
+                and (kernel, stride, padding, output_padding) == (3, 2, 1, 1)
+            ):
+                # T_in=1 (upsample2): the temporal scatter t = 2i-1+alpha
+                # factorizes — output frame t comes solely from kernel
+                # slice alpha = t+1, and slice 0's target (t=-1) is
+                # cropped (zero gradient, as in torch).  Two 2-D ConvTs
+                # replace the 3-D one: exact values/grads, 1/3 the FLOPs.
+                x2 = x[:, 0].astype(dt)
+                y0 = conv_transpose_nd(x2, kw[1].astype(dt), 2, 1, 1)
+                y1 = conv_transpose_nd(x2, kw[2].astype(dt), 2, 1, 1)
+                return jnp.stack([y0, y1], axis=1) + kb
             y = conv_transpose_nd(
                 x.astype(dt), kw.astype(dt), stride, padding, output_padding
             )
