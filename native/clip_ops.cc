@@ -69,6 +69,46 @@ void assemble_clip(const uint8_t* video, const uint8_t* mask,
   }
 }
 
+// uint8 crop-gather for the TPU-first `device_prep` sample layout
+// (picad_tpu/data/dataset.py): /255, flip and the mask-float conversion
+// all happen on device inside the jitted step, so the host's only work
+// is gathering the 8 cropped frames and thresholding the mask — done
+// here as row memcpys straight into one slot of the PREALLOCATED batch
+// arrays (no per-sample allocation, no collate/stack, no permute copy).
+// Called through ctypes, which releases the GIL for the duration: batch
+// assembly overlaps the main thread's step dispatch on a 1-core host.
+//
+//   video:    (F, H, W, 3) uint8 contiguous
+//   mask:     (F, H, W, 1) uint8 (may be null)
+//   span:     depth frame indices
+//   valid:    per-frame validity (JHMDB mask_cls rule; all-ones for UCF)
+//   out_data: (depth, ch, cw, 3) uint8 slot = video[span][crop]
+//   out_mask: (depth, ch, cw, 1) uint8 slot = (mask[span][crop] > 0) & valid
+void crop_gather_u8(const uint8_t* video, const uint8_t* mask,
+                    int64_t H, int64_t W,
+                    const int64_t* span, const uint8_t* valid, int64_t depth,
+                    int64_t y0, int64_t x0, int64_t ch, int64_t cw,
+                    uint8_t* out_data, uint8_t* out_mask) {
+  for (int64_t j = 0; j < depth; ++j) {
+    const int64_t f = span[j];
+    const uint8_t* vframe = video + ((f * H + y0) * W + x0) * 3;
+    uint8_t* dst = out_data + j * ch * cw * 3;
+    for (int64_t r = 0; r < ch; ++r)
+      std::memcpy(dst + r * cw * 3, vframe + r * W * 3, (size_t)(cw * 3));
+    uint8_t* mdst = out_mask + j * ch * cw;
+    if (mask != nullptr && valid[j]) {
+      const uint8_t* mframe = mask + (f * H + y0) * W + x0;
+      for (int64_t r = 0; r < ch; ++r) {
+        const uint8_t* src = mframe + r * W;
+        uint8_t* d = mdst + r * cw;
+        for (int64_t c = 0; c < cw; ++c) d[c] = src[c] > 0 ? 1 : 0;
+      }
+    } else {
+      std::memset(mdst, 0, (size_t)(ch * cw));
+    }
+  }
+}
+
 // Union-of-boxes rasterization (datasets/ucf_dataloader.py:215-222):
 // paint n_boxes (frame, x, y, w, h) rows into a (F, H, W) uint8 volume.
 void rasterize_boxes(uint8_t* mask, int64_t F, int64_t H, int64_t W,

@@ -53,8 +53,14 @@ class BestCheckpointPolicy:
         path = os.path.join(
             self.save_dir, f"best_model_{self.tag}_loss_{epoch}"
         )
-        self.io.save(path, state)
-        if self.prev_path and epoch < self.keep_all_after_epoch:
-            shutil.rmtree(self.prev_path, ignore_errors=True)
+        # Multi-host: losses are identical on every process (the step
+        # reduces over the GLOBAL batch), so the policy's decisions stay
+        # in lockstep — but only process 0 touches the (shared) filesystem.
+        # Concurrent rmtree+save of one path from N processes is a
+        # corruption race; the non-writers only track prev_path/best_loss.
+        if jax.process_index() == 0:
+            self.io.save(path, state)
+            if self.prev_path and epoch < self.keep_all_after_epoch:
+                shutil.rmtree(self.prev_path, ignore_errors=True)
         self.prev_path = path
         return path

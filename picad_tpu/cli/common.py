@@ -56,7 +56,11 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--bv", action="store_true")
     p.add_argument("--predict_maps", action="store_true")
     p.add_argument("--bv_wt", type=float, default=0.5)
-    p.add_argument("--cyclic", action="store_true")
+    p.add_argument("--cyclic", action="store_true",
+                   help="accepted and ignored, like the reference: "
+                   "main_ucf101.py:310 defines --cyclic but no code "
+                   "reads it (the cyclic 14-frame construction is always "
+                   "on inside the --bv variance mask)")
     p.add_argument("--gv", action="store_true")
     p.add_argument("--lower_thresh", type=float, default=None)
     p.add_argument("--upper_thresh", type=float, default=None)
@@ -80,6 +84,11 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    "later epochs memmap instead of re-running ffmpeg")
     p.add_argument("--video_cache_gb", type=float, default=0.0,
                    help="in-memory LRU over decoded videos (GiB, 0 = off)")
+    p.add_argument("--device_cache_gb", type=float, default=0.0,
+                   help="HBM-resident decoded-video pool (GiB, 0 = off): "
+                   "train steps receive clip metadata only and the "
+                   "crop-gather fuses into the jitted step; falls back "
+                   "to host streaming if the dataset exceeds the budget")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of train steps here")
     # multi-host bring-up (jax.distributed); single-host when unset
@@ -109,6 +118,7 @@ def args_to_config(args, dataset: str) -> TrainConfig:
     cfg.data.workers = args.workers
     cfg.data.decoded_cache_dir = args.decoded_cache_dir
     cfg.data.video_cache_bytes = int(args.video_cache_gb * (1 << 30))
+    cfg.data.device_cache_bytes = int(args.device_cache_gb * (1 << 30))
 
     cfg.model.num_classes = 24 if dataset == "ucf101" else 21
     # Superseded-checkpoint deletion gate: the reference deletes earlier
@@ -227,4 +237,39 @@ def build_train_datasets(cfg: TrainConfig):
         seed=cfg.seed,
         device_prep=d.device_prep,
     )
+
+    if d.device_cache_bytes > 0 and d.device_prep:
+        import jax
+
+        from picad_tpu.data.device_cache import (
+            DeviceClipDataset,
+            DeviceVideoCache,
+        )
+        from picad_tpu.data.sources import ConcatVideoSource
+
+        if jax.process_count() > 1:
+            # The per-host index shard is re-drawn from a global shuffle
+            # every epoch (loader.py _host_shard), so no fixed video
+            # subset fits one host's pool — keep streaming on multi-host.
+            print("device video cache: multi-host run, using host streaming")
+        else:
+            try:
+                cache = DeviceVideoCache.build(
+                    ConcatVideoSource([lab, unl]),
+                    budget_bytes=d.device_cache_bytes,
+                )
+                n_l = len(lab)
+                mkd = lambda off, n: DeviceClipDataset(
+                    cache, index_offset=off, length=n, train=True,
+                    clip_shape=shape, depth=d.depth, vskip=d.vskip,
+                    with_validity=with_validity, seed=cfg.seed,
+                )
+                print(
+                    f"device video cache: {cache.pool_video.shape[0]} frames "
+                    "resident in HBM; steps receive clip metadata only"
+                )
+                return mkd(0, n_l), mkd(n_l, len(unl)), mk(val, False)
+            except ValueError as e:
+                print(f"device video cache disabled ({e}); streaming instead")
+
     return mk(lab, True), mk(unl, True), mk(val, False)

@@ -37,6 +37,12 @@ class DataConfig:
     # device inside the jitted step (identical f32 numerics, ~8x less
     # H2D).  False reproduces the reference's float sample dict.
     device_prep: bool = True
+    # Device-resident decoded-video cache (bytes; 0 = off): the train
+    # streams' videos are uploaded to HBM once and each step ships only
+    # clip METADATA (~100 bytes/sample) — the crop-gather fuses into the
+    # jitted step (data/device_cache.py).  Falls back to host streaming
+    # with a warning when the pool exceeds the budget.
+    device_cache_bytes: int = 0
     # synthetic backend (hermetic tests / benchmarks)
     synthetic_num_videos: int = 64
     synthetic_video_len: int = 40

@@ -43,6 +43,14 @@ def load_library():
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     lib.rasterize_boxes.restype = None
+    lib.crop_gather_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.crop_gather_u8.restype = None
     _LIB = lib
     return lib
 
@@ -81,3 +89,37 @@ def assemble_clip(
         out, out_flip, out_mask.reshape(depth, ch, cw),
     )
     return out, out_flip, out_mask
+
+
+def crop_gather_u8(
+    video: np.ndarray,
+    mask: np.ndarray | None,
+    span: np.ndarray,
+    valid: np.ndarray,
+    y0: int,
+    x0: int,
+    out_data: np.ndarray,  # (depth, ch, cw, 3) uint8, C-contiguous view
+    out_mask: np.ndarray,  # (depth, ch, cw, 1) uint8, C-contiguous view
+) -> None:
+    """Batched-slot uint8 crop-gather (see native/clip_ops.cc).
+
+    Writes straight into preallocated batch-slot views; the ctypes call
+    releases the GIL, so assembly overlaps step dispatch."""
+    lib = load_library()
+    assert lib is not None
+    depth, ch, cw, _ = out_data.shape
+    assert video.dtype == np.uint8 and video.flags.c_contiguous
+    assert out_data.flags.c_contiguous and out_mask.flags.c_contiguous
+    _, H, W, _ = video.shape
+    span = np.ascontiguousarray(span, dtype=np.int64)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    mask_ptr = None
+    if mask is not None:
+        assert mask.dtype == np.uint8 and mask.flags.c_contiguous
+        mask_ptr = ctypes.c_void_p(mask.ctypes.data)
+    lib.crop_gather_u8(
+        ctypes.c_void_p(video.ctypes.data), mask_ptr, H, W,
+        span, valid, depth, y0, x0, ch, cw,
+        ctypes.c_void_p(out_data.ctypes.data),
+        ctypes.c_void_p(out_mask.ctypes.data),
+    )

@@ -108,11 +108,18 @@ class ClipDataset:
             sample["mask_cls"] = np.zeros((d, h, w, 1), dtype=np.float32)
         return sample
 
-    def __getitem__(self, index: int) -> dict[str, Any]:
+    def _sample_plan(self, index: int, source_index: int | None = None):
+        """The cheap per-sample logic: clip span + crop origin + validity.
+
+        Returns None for a degraded (all-zero) sample, else
+        (rec, span, y, x, valid).  `source_index` lets a view over a
+        merged source (device_cache.DeviceClipDataset) keep the rng
+        stream keyed by the LOCAL index — identical sampling decisions
+        to a per-source host dataset."""
         rng = np.random.default_rng((self.seed, self._epoch, index))
-        rec = self.source.load(index)
+        rec = self.source.load(index if source_index is None else source_index)
         if rec is None or len(rec.annot_frames) == 0:
-            return self._zero_sample()
+            return None
 
         depth = self.depth
         vlen, clip_h, clip_w, _ = rec.video.shape
@@ -132,13 +139,13 @@ class ClipDataset:
                 start = 0
                 vskip = 1
         if selected >= vlen:
-            return self._zero_sample()
+            return None
         if start + depth * vskip >= vlen:
             start = vlen - depth * vskip
         # A very short video can still underflow; degrade like a decode
         # failure rather than wrapping around.
         if start < 0:
-            return self._zero_sample()
+            return None
 
         span = np.arange(depth) * vskip + start
 
@@ -159,6 +166,79 @@ class ClipDataset:
                 valid = np.array([s in annot_set for s in span], dtype=np.uint8)
         else:
             valid = np.ones((depth,), dtype=np.uint8)
+        return rec, span, y, x, valid
+
+    @property
+    def supports_fill(self) -> bool:
+        """True when fill_into() is the fast path (TPU uint8 layout)."""
+        return self.device_prep
+
+    def batch_spec(self) -> dict[str, tuple[tuple, np.dtype]]:
+        """Per-sample array fields of the device_prep layout, for
+        preallocating reusable batch buffers (loader fast path)."""
+        d, h, w = self.depth, self.height, self.width
+        spec = {
+            "data": ((d, h, w, 3), np.dtype(np.uint8)),
+            "loc_msk": ((d, h, w, 1), np.dtype(np.uint8)),
+        }
+        if self.with_validity:
+            spec["mask_cls"] = ((d, h, w, 1), np.dtype(np.float32))
+        return spec
+
+    def fill_into(
+        self,
+        index: int,
+        data_out: np.ndarray,
+        loc_out: np.ndarray,
+        mask_cls_out: np.ndarray | None = None,
+    ) -> tuple[int, int]:
+        """Assemble the device_prep sample straight into batch-slot views.
+
+        Same numerics as __getitem__ (device_prep branch) with zero
+        intermediate allocations; the gather goes through the native
+        GIL-releasing assembler when available.  Returns (action,
+        label_vid)."""
+        assert self.device_prep
+        plan = self._sample_plan(index)
+        if plan is None:
+            data_out[...] = 0
+            loc_out[...] = 0
+            if mask_cls_out is not None:
+                mask_cls_out[...] = 0.0
+            return 0, 0
+        rec, span, y, x, valid = plan
+        video, mask = rec.video, rec.mask
+        if (
+            self._native is not None
+            and video.dtype == np.uint8
+            and video.flags.c_contiguous
+            and mask.dtype == np.uint8
+            and mask.flags.c_contiguous
+        ):
+            from picad_tpu.data import _native
+
+            _native.crop_gather_u8(
+                video, mask, span, valid, y, x, data_out, loc_out
+            )
+        else:
+            assert video.dtype == np.uint8, (
+                "device_prep requires uint8 video sources"
+            )
+            data_out[...] = video[
+                span, y : y + self.height, x : x + self.width, :
+            ]
+            m = mask[span, y : y + self.height, x : x + self.width, :]
+            loc_out[...] = (m > 0) & valid[:, None, None, None].astype(bool)
+        if mask_cls_out is not None:
+            mask_cls_out[...] = valid.astype(np.float32)[:, None, None, None]
+        return int(rec.label), int(rec.labeled)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        plan = self._sample_plan(index)
+        if plan is None:
+            return self._zero_sample()
+        rec, span, y, x, valid = plan
+        depth = self.depth
 
         if self.device_prep and rec.video.dtype == np.uint8:
             # uint8 crop-gather only; /255, flip, mask threshold move into

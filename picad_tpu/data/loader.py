@@ -73,6 +73,32 @@ class SemiSupervisedBatcher:
         # kept, zero-padded to the compiled batch size, and flagged via
         # the per-row `row_mask` so padded rows drop out of every loss.
         self.drop_last = drop_last
+        # Rotating batch-buffer pool for the zero-copy fill_into fast
+        # path (see epoch()); lazily allocated.
+        self._pool: list[dict[str, np.ndarray]] | None = None
+        self._pool_i = 0
+
+    def _acquire_buffers(self) -> dict[str, np.ndarray]:
+        """One set of reusable per-batch arrays from a 4-deep rotation.
+
+        A buffer is overwritten 4 batches after it was yielded; by then
+        the PrefetchLoader (queue depth <= 2) has long device_put it, so
+        the host memory is free to reuse.  This removes all steady-state
+        batch allocations and the stack/permute copies of the slow path."""
+        if self._pool is None:
+            spec = self.unlabeled.batch_spec()
+            assert spec == self.labeled.batch_spec(), "dataset spec mismatch"
+            bs = 2 * self.half
+            self._pool = [
+                {
+                    k: np.empty((bs, *shape), dtype)
+                    for k, (shape, dtype) in spec.items()
+                }
+                for _ in range(4)
+            ]
+        bufs = self._pool[self._pool_i]
+        self._pool_i = (self._pool_i + 1) % len(self._pool)
+        return bufs
 
     def _host_shard(self, order: np.ndarray) -> np.ndarray:
         """Strided per-process shard of a shuffled index order."""
@@ -117,6 +143,64 @@ class SemiSupervisedBatcher:
             return out
 
         steps = self.steps_per_epoch()
+        # Fast path: datasets expose fill_into (device_prep uint8 layout)
+        # -> assemble each permuted row DIRECTLY into a reusable batch
+        # buffer (native GIL-releasing crop-gather), skipping per-sample
+        # dicts, collate-stack and the whole-batch permute copy.  Bit-
+        # identical batches to the slow path (tests/test_loader.py); the
+        # slow path remains for the reference float layout.
+        fast = getattr(self.labeled, "supports_fill", False) and getattr(
+            self.unlabeled, "supports_fill", False
+        )
+        if fast:
+            bs = 2 * self.half
+            for step in range(steps):
+                u_idx = unlabeled_order[step * self.half : (step + 1) * self.half]
+                l_idx = next_labeled_indices(self.half)
+                n_real = len(l_idx) + len(u_idx)
+                perm = rng.permutation(bs)
+                bufs = self._acquire_buffers()
+                data, loc = bufs["data"], bufs["loc_msk"]
+                mask_cls = bufs.get("mask_cls")
+                action = np.zeros((bs,), np.int32)
+                label_vid = np.zeros((bs,), np.int32)
+                row_mask = np.zeros((bs,), np.float32)
+                for i in range(bs):
+                    j = int(perm[i])
+                    mc = mask_cls[i] if mask_cls is not None else None
+                    if j < len(l_idx):
+                        a, lv = self.labeled.fill_into(
+                            l_idx[j], data[i], loc[i], mc
+                        )
+                        if self.force_stream_flags:
+                            lv = 1
+                    elif j < n_real:
+                        a, lv = self.unlabeled.fill_into(
+                            int(u_idx[j - self.half]), data[i], loc[i], mc
+                        )
+                        if self.force_stream_flags:
+                            lv = 0
+                    else:  # zero pad of the ragged final batch
+                        data[i][...] = 0
+                        loc[i][...] = 0
+                        if mc is not None:
+                            mc[...] = 0.0
+                        a, lv = 0, 0
+                    action[i] = a
+                    label_vid[i] = lv
+                    row_mask[i] = 1.0 if j < n_real else 0.0
+                batch = {
+                    "data": data,
+                    "loc_msk": loc,
+                    "action": action,
+                    "label_vid": label_vid,
+                }
+                if mask_cls is not None:
+                    batch["mask_cls"] = mask_cls
+                batch["row_mask"] = row_mask
+                yield batch
+            return
+
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             for step in range(steps):
                 u_idx = unlabeled_order[step * self.half : (step + 1) * self.half]
@@ -135,10 +219,11 @@ class SemiSupervisedBatcher:
                         {k: np.zeros_like(v) for k, v in template.items()}
                     )
                 batch = collate(l_samples + u_samples)
-                row_mask = np.zeros((batch["data"].shape[0],), np.float32)
+                nrows = len(l_samples) + len(u_samples)  # == 2 * self.half
+                row_mask = np.zeros((nrows,), np.float32)
                 row_mask[:n_real] = 1.0
                 batch["row_mask"] = row_mask
-                perm = rng.permutation(batch["data"].shape[0])
+                perm = rng.permutation(nrows)
                 yield {k: v[perm] for k, v in batch.items()}
 
 

@@ -178,6 +178,30 @@ def _decode_with_npy_cache(
     return video
 
 
+class ConcatVideoSource:
+    """Concatenation of several VideoSources under one index space.
+
+    Used by the device video cache to pool the labeled + unlabeled
+    streams' frames into ONE HBM-resident pool (device_cache.py);
+    per-stream datasets then view contiguous index windows."""
+
+    def __init__(self, sources: Sequence):
+        self.sources = list(sources)
+        self._bounds = np.cumsum([0] + [len(s) for s in self.sources])
+
+    def __len__(self) -> int:
+        return int(self._bounds[-1])
+
+    def set_epoch(self, epoch: int) -> None:
+        for s in self.sources:
+            if hasattr(s, "set_epoch"):
+                s.set_epoch(epoch)
+
+    def load(self, index: int):
+        k = int(np.searchsorted(self._bounds, index, side="right")) - 1
+        return self.sources[k].load(index - int(self._bounds[k]))
+
+
 class CachedVideoSource:
     """Thread-safe in-memory LRU over any VideoSource's decoded records.
 
@@ -205,8 +229,13 @@ class CachedVideoSource:
     def _size(rec: "VideoRecord | None") -> int:
         if rec is None:
             return 64
-        # memmapped videos cost no RSS; count only materialized arrays
-        vid = 0 if isinstance(rec.video, np.memmap) else rec.video.nbytes
+        # Memmapped videos cost ~no RSS, but each holds an open file
+        # descriptor — charge a nominal 1 MiB so the LRU's byte budget
+        # also bounds the open-fd count (budget/1MiB entries max)
+        # instead of retaining unboundedly many mask-only records.
+        vid = (
+            1 << 20 if isinstance(rec.video, np.memmap) else rec.video.nbytes
+        )
         return vid + rec.mask.nbytes
 
     def load(self, index: int) -> "VideoRecord | None":

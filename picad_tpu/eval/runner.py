@@ -25,10 +25,13 @@ import numpy as np
 from picad_tpu.eval.engine import evaluate_dataset
 
 
-def make_padded_forward(
-    model, variables, *, clip_batch_size: int = 14, height: int = 224, width: int = 224
-) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
-    """Jitted eval forward over fixed-size padded clip batches.
+def make_eval_fn(model):
+    """The jitted eval forward, built ONCE per model.
+
+    Params/stats are arguments, so a checkpoint sweep swaps weights
+    without retracing — one XLA program for the whole sweep (tracing a
+    full CapsNet costs minutes on slow hosts; the round-2 sweep paid it
+    per checkpoint).
 
     Matches the reference eval call signature: dummy action 500, eval-mode
     class masking by predicted argmax (evaluate_ucf101.py:123-128),
@@ -50,6 +53,18 @@ def make_padded_forward(
         )
         return jax.nn.sigmoid(seg), scores
 
+    return fwd
+
+
+def make_padded_forward(
+    model, variables, *, clip_batch_size: int = 14, eval_fn=None,
+) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
+    """Bind weights to the (shared) jitted eval forward; pad ragged clip
+    batches to the compiled shape and drop the padding rows on the host.
+
+    Pass `eval_fn=make_eval_fn(model)` when calling repeatedly (e.g. the
+    checkpoint sweep) so every binding reuses one traced program."""
+    fwd = eval_fn if eval_fn is not None else make_eval_fn(model)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
@@ -97,11 +112,12 @@ def sweep_checkpoints(
         return {}
     results = {}
     fmap_best, vmap_best, names = [], [], []
+    eval_fn = make_eval_fn(model)  # trace/compile once for the whole sweep
     for path in paths:
         state = io.restore(path, template_state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         forward = make_padded_forward(
-            model, variables, clip_batch_size=clip_batch_size
+            model, variables, clip_batch_size=clip_batch_size, eval_fn=eval_fn
         )
         pred_log = [] if log_predictions else None
         summary = evaluate_dataset(

@@ -79,6 +79,9 @@ class PrimaryCaps(nn.Module):
         ba = self.param("a_bias", _torch_conv_uniform(fan_in), (self.caps_types,))
         dt = self.compute_dtype
         xc = x.astype(dt)
+        # Separate pose/act convs (NOT one merged 544-channel conv: 544
+        # pads to five 128-lane tiles where 512 is exactly four — the
+        # merged variant measured ~1.5 ms/step SLOWER in fwd+bwd).
         p = conv_nd(xc, wp.astype(dt), 1, "VALID") + bp
         a = conv_nd(xc, wa.astype(dt), 1, "VALID") + ba
         a = jax.nn.sigmoid(a)
@@ -113,6 +116,12 @@ class ConvCaps(nn.Module):
     lam: float = 1e-6
     coor_add: bool = False
     w_shared: bool = False
+    # dtype of the vote tensor and the routing's large elementwise
+    # passes (ops/em_routing.py mixed-precision contract: the (b, C)
+    # cost/activation chain always runs f32).  bf16 in production halves
+    # the dominant HBM traffic of the capsule head; f32 (default) is the
+    # bit-parity configuration the oracle tests pin down.
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, B_caps*(psize+1))
@@ -125,18 +134,20 @@ class ConvCaps(nn.Module):
         beta_u = self.param("beta_u", nn.initializers.normal(1.0), (C, psize))
         beta_a = self.param("beta_a", nn.initializers.normal(1.0), (C,))
 
+        cdt = self.compute_dtype
+
         def routed_votes(pose, act, weights, coords=None):
             """pose (n, Bi', P, P), act (n, Bi', 1) -> (mu, a_out)."""
             v = jnp.einsum(
                 "nipq,ijqr->nijpr",
-                pose.astype(jnp.float32),
-                weights.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+                pose.astype(cdt),
+                weights.astype(cdt),
+                preferred_element_type=cdt,
             ).reshape(pose.shape[0], pose.shape[1], C, psize)
             if coords is not None:
-                v = v + coords
+                v = v + coords.astype(cdt)
             return em_routing(
-                v, act.astype(jnp.float32), beta_u, beta_a,
+                v, act.astype(cdt), beta_u, beta_a,
                 iters=self.iters, eps=self.eps, lam=self.lam,
             )
 
@@ -196,17 +207,17 @@ class ConvCaps(nn.Module):
             ).reshape(b, h * w * Bi, C, psize)
         v = jnp.einsum(
             "nsipq,ijqr->nsijpr",
-            pose.astype(jnp.float32),
-            weights.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            pose.astype(cdt),
+            weights.astype(cdt),
+            preferred_element_type=cdt,
         ).reshape(b, h * w * Bi, C, psize)
         if coords is not None:
-            v = v + coords
+            v = v + coords.astype(cdt)
         _, a_out = em_routing(
-            v, act.astype(jnp.float32), beta_u, beta_a,
+            v, act.astype(cdt), beta_u, beta_a,
             iters=self.iters, eps=self.eps, lam=self.lam,
         )
-        return a_out  # (B, C)
+        return a_out  # (B, C) f32
 
 
 class CapsNet(nn.Module):
@@ -273,7 +284,7 @@ class CapsNet(nn.Module):
         # caps_reorder (ref :399-410) is an effective identity for this
         # layout — the pose slice computes to all 544 channels — so it is
         # intentionally omitted.
-        combined = ConvCaps(32, caps, P, name="conv_caps")(x)
+        combined = ConvCaps(32, caps, P, name="conv_caps", compute_dtype=dt)(x)
 
         h, w = combined.shape[1], combined.shape[2]
         ranges = caps * psize

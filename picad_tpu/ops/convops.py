@@ -147,10 +147,52 @@ def conv_transpose_nd(
     )
 
 
-def _max_pool_fwd_raw(x: jax.Array, kernel, stride) -> jax.Array:
+def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
+    """Max pool with TF-SAME *zero* padding, channels-last.
+
+    The reference zero-pads then max-pools (models/pytorch_i3d.py:21-45).
+    Zero padding (not -inf) is part of its numerics; its pool inputs are
+    post-ReLU so the two coincide there, but we keep the exact semantics.
+
+    STRIDE-1 pools are computed SEPARABLY: one 1-D max stage per
+    >1-kernel axis (max is associative, and zero-padding an axis at its
+    own stage equals the joint zero-padded window — identical forward
+    values).  The win is the backward: per-axis stages route gradients
+    with k taps per axis (3 + 3 [+ 3]) instead of the 27-tap joint
+    stencil that cost ~3.4 ms/step.
+
+    STRIDED pools keep the joint reduce_window with XLA's
+    select-and-scatter backward: a separable parity-interleave backward
+    was tried and measured WORSE (~+3 ms/step) — the phase
+    stack+reshape interleave at the 112^2 stride-2 pool generates
+    layout copies that dwarf the ~1.5 ms select-and-scatter it
+    replaced.
+
+    Gradient semantics are "all-max per stage" subgradient routing vs
+    torch's joint first-max.  KNOWN DEVIATION: the two differ on
+    in-window ties.  Ties at ReLU zeros are harmless (the preceding
+    ReLU's backward zeroes those taps anyway), but equal POSITIVE
+    activations can occur — e.g. duplicated maxima propagated by
+    overlapping pools — and there all-max routing sends the window
+    gradient to every tied position (counted once per stage-path) where
+    torch picks one.  Both are valid subgradients of the same loss; the
+    training-dynamics difference is accepted and documented rather than
+    hidden behind per-window match-count divides.
+    """
     n = x.ndim - 2
     kernel = _tuple(kernel, n)
     stride = _tuple(stride, n)
+    if any(s != 1 for s in stride):
+        return _max_pool_joint(x, kernel, stride)
+    for a in range(n):
+        if kernel[a] != 1:
+            x = _max_pool_axis(x, a + 1, kernel[a], 1)
+    return x
+
+
+def _max_pool_joint(x, kernel, stride):
+    """Joint zero-padded max pool (strided pools; default XLA backward)."""
+    n = x.ndim - 2
     pads = [(0, 0)] + [
         same_pads(x.shape[1 + i], kernel[i], stride[i]) for i in range(n)
     ] + [(0, 0)]
@@ -165,86 +207,66 @@ def _max_pool_fwd_raw(x: jax.Array, kernel, stride) -> jax.Array:
     )
 
 
-def max_pool_same_zero_pad(x: jax.Array, kernel, stride) -> jax.Array:
-    """Max pool with TF-SAME *zero* padding, channels-last.
-
-    The reference zero-pads then max-pools (models/pytorch_i3d.py:21-45).
-    Zero padding (not -inf) is part of its numerics; its pool inputs are
-    post-ReLU so the two coincide there, but we keep the exact semantics.
-
-    Backward, measured on TPU at the reference config:
-    - stride-1 pools (the Inception-branch 3x3x3 pools): XLA's
-      select-and-scatter lowering costs ~8 ms/step; a tap-loop VJP
-      (`grad[i] = sum over windows w containing i of
-      1[x[i] == max(w)] * g[w]`) is several times faster, so they route
-      through `_max_pool_tap_vjp`.  This is "all-max" subgradient
-      routing vs first-max; the two differ only on in-window ties,
-      which here occur only at ReLU zeros — positions whose gradient
-      the preceding ReLU's own backward zeroes anyway (ties between
-      equal positive activations have measure zero).
-    - strided pools: the tap VJP needs interior-dilated pads of y/g
-      which XLA materializes expensively (~8 ms each at 113^2) —
-      select-and-scatter wins there, so they keep the default grad.
-    """
-    n = x.ndim - 2
-    stride_t = _tuple(stride, n)
-    if all(s == 1 for s in stride_t):
-        return _max_pool_tap_vjp(x, _tuple(kernel, n), stride_t)
-    return _max_pool_fwd_raw(x, kernel, stride)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_axis(x: jax.Array, axis: int, k: int, s: int) -> jax.Array:
+    return _max_pool_axis_raw(x, axis, k, s)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _max_pool_tap_vjp(x: jax.Array, kernel, stride) -> jax.Array:
-    return _max_pool_fwd_raw(x, kernel, stride)
+def _max_pool_axis_raw(x, axis, k, s):
+    size = x.shape[axis]
+    lo, hi = same_pads(size, k, s)
+    pads = [(0, 0, 0)] * x.ndim
+    pads[axis] = (lo, hi, 0)
+    xp = lax.pad(x, jnp.array(0.0, x.dtype), pads)
+    window = [1] * x.ndim
+    window[axis] = k
+    strides = [1] * x.ndim
+    strides[axis] = s
+    return lax.reduce_window(
+        xp, -jnp.inf, lax.max, window, strides, padding="VALID"
+    )
 
 
-def _max_pool_fwd(x, kernel, stride):
-    y = _max_pool_fwd_raw(x, kernel, stride)
+def _max_pool_axis_fwd(x, axis, k, s):
+    y = _max_pool_axis_raw(x, axis, k, s)
     return y, (x, y)
 
 
-def _max_pool_bwd(kernel, stride, res, g):
+def _shift_axis(t, axis, shift, fill=0.0):
+    """t shifted by `shift` along axis (t[..., i, ...] -> value from
+    i - shift), zero-filled — a pad + slice, no scatter."""
+    if shift == 0:
+        return t
+    pads = [(0, 0, 0)] * t.ndim
+    pads[axis] = (max(shift, 0), max(-shift, 0), 0)
+    tp = lax.pad(t, jnp.array(fill, t.dtype), pads)
+    start = [0] * t.ndim
+    start[axis] = max(-shift, 0)
+    limit = list(tp.shape)
+    limit[axis] = start[axis] + t.shape[axis]
+    return lax.slice(tp, start, limit)
+
+
+def _max_pool_axis_bwd(axis, k, s, res, g):
+    """dx[i] = sum over windows j containing i of 1[x[i] == y[j]] * g[j].
+
+    Stride-1 only (strided pools route through _max_pool_joint): window
+    j covers input positions j - lo + t, t in [0, k), so the backward is
+    k shifted compare-accumulate passes — pads and slices, no scatters.
+    """
+    assert s == 1, "strided pools use _max_pool_joint (XLA backward)"
     x, y = res
-    n = x.ndim - 2
-    kernel = _tuple(kernel, n)
-    stride = _tuple(stride, n)
-    pads = [same_pads(x.shape[1 + i], kernel[i], stride[i]) for i in range(n)]
-    # Dilate y/g back onto the padded-input grid (window w lives at
-    # w * stride), then for each tap offset compare x against the
-    # window max and route the gradient.
-    ysh = y.shape
-    dil = [(0, 0, 0)] + [(0, 0, stride[i] - 1) for i in range(n)] + [(0, 0, 0)]
-    neg = jnp.array(-jnp.inf, y.dtype)
-    yd = lax.pad(y, neg, dil)  # -inf between windows: never matches
-    gd = lax.pad(g, jnp.array(0.0, g.dtype), dil)
-    # pad so that every tap shift is a valid slice on the padded-x grid
-    xp_pads = [(0, 0)] + [
-        (pads[i][0], pads[i][1]) for i in range(n)
-    ] + [(0, 0)]
-    xp = jnp.pad(x, xp_pads)
-    full = [(0, 0)] + [
-        (kernel[i] - 1, kernel[i] - 1) for i in range(n)
-    ] + [(0, 0)]
-    ydf = jnp.pad(yd, full, constant_values=-jnp.inf)
-    gdf = jnp.pad(gd, full, constant_values=0.0)
-
-    import itertools as _it
-
-    grad_xp = jnp.zeros(xp.shape, jnp.float32)
-    sp = xp.shape[1 : 1 + n]
-    for taps in _it.product(*[range(k) for k in kernel]):
-        # window start j - tap on the dilated grid; +(k-1) pad offset
-        idx = (slice(None),) + tuple(
-            slice(kernel[i] - 1 - taps[i], kernel[i] - 1 - taps[i] + sp[i])
-            for i in range(n)
-        ) + (slice(None),)
-        match = (xp == ydf[idx]).astype(jnp.float32)
-        grad_xp = grad_xp + match * gdf[idx].astype(jnp.float32)
-    # strip the zero padding
-    unpad = (slice(None),) + tuple(
-        slice(pads[i][0], pads[i][0] + x.shape[1 + i]) for i in range(n)
-    ) + (slice(None),)
-    return (grad_xp[unpad].astype(x.dtype),)
+    lo, _ = same_pads(x.shape[axis], k, s)
+    gf = g.astype(jnp.float32)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for t in range(k):
+        shift = t - lo  # i = j + t - lo  =>  tap j = i - (t - lo)
+        ys = _shift_axis(y, axis, shift, fill=-jnp.inf)
+        gs = _shift_axis(gf, axis, shift)
+        acc = acc + (x == ys).astype(jnp.float32) * gs
+    return (acc.astype(x.dtype),)
 
 
-_max_pool_tap_vjp.defvjp(_max_pool_fwd, _max_pool_bwd)
+_max_pool_axis.defvjp(_max_pool_axis_fwd, _max_pool_axis_bwd)
+
+

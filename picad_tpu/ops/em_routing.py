@@ -41,19 +41,32 @@ def _m_step(a_in, r, v, beta_u, beta_a, eps, lam):
 
     Returns a_out (b, C), mu (b, 1, C, psize), sigma_sq (b, 1, C, psize).
     Mirrors models/capsules_ucf101.py:108-156.
+
+    Mixed precision: the large (b, Bi, C[, psize]) tensors stay in
+    v.dtype (bf16 in production — these elementwise passes are the HBM
+    bandwidth cost of routing), while the tiny (b, C) cost/activation
+    chain runs in f32: the reference's cost_std computes
+    sqrt((sum_j(cost_j - mean))^2 / C + eps), whose sum cancels to ~0 by
+    construction — a catastrophic-cancellation quirk that low precision
+    would distort by orders of magnitude.  With f32 v (the parity/test
+    configuration) every operation is identical to the literal form.
     """
     b, Bi, C, psize = v.shape
+    f32 = jnp.float32
     r = r * a_in
-    r = r / (jnp.sum(r, axis=2, keepdims=True) + eps)
+    r = r / (jnp.sum(r, axis=2, keepdims=True) + jnp.asarray(eps, r.dtype))
     r_sum = jnp.sum(r, axis=1, keepdims=True)  # (b, 1, C)
-    coeff = (r / (r_sum + eps))[..., None]  # (b, Bi, C, 1)
+    coeff = (r / (r_sum + jnp.asarray(eps, r.dtype)))[..., None]  # (b, Bi, C, 1)
 
     mu = jnp.sum(coeff * v, axis=1, keepdims=True)  # (b, 1, C, psize)
-    sigma_sq = jnp.sum(coeff * (v - mu) ** 2, axis=1, keepdims=True) + eps
+    sigma_sq = jnp.sum(coeff * (v - mu) ** 2, axis=1, keepdims=True) + jnp.asarray(
+        eps, v.dtype
+    )
 
-    cost_h = (beta_u + jnp.log(jnp.sqrt(sigma_sq[:, 0]))) * r_sum.reshape(
-        b, C, 1
-    )  # (b, C, psize)
+    cost_h = (
+        beta_u.astype(f32)
+        + jnp.log(jnp.sqrt(sigma_sq[:, 0].astype(f32)))
+    ) * r_sum.reshape(b, C, 1).astype(f32)  # (b, C, psize)
     cost_h = jnp.sum(cost_h, axis=2)  # (b, C)
 
     cost_mean = jnp.mean(cost_h, axis=1, keepdims=True)  # (b, 1)
@@ -62,20 +75,27 @@ def _m_step(a_in, r, v, beta_u, beta_a, eps, lam):
         jnp.sum(cost_h - cost_mean, axis=1, keepdims=True) ** 2 / C + eps
     )
     a_out = jax.nn.sigmoid(
-        lam * (beta_a - (cost_mean - cost_h) / (cost_std + eps))
-    )  # (b, C)
+        lam * (beta_a.astype(f32) - (cost_mean - cost_h) / (cost_std + eps))
+    )  # (b, C) f32
     return a_out, mu, sigma_sq
 
 
 def _e_step(mu, sigma_sq, a_out, v, eps):
-    """One E step.  Mirrors models/capsules_ucf101.py:158-182."""
+    """One E step.  Mirrors models/capsules_ucf101.py:158-182.
+
+    ln_p is elementwise over the big (b, Bi, C, psize) tensor (fused
+    with its psize-reduction; v.dtype), the C-softmax runs in f32 on the
+    reduced (b, Bi, C) tensor, and r returns in v.dtype for the next
+    M step."""
     ln_p = (
         -((v - mu) ** 2) / (2.0 * sigma_sq)
         - jnp.log(jnp.sqrt(sigma_sq))
-        - 0.5 * _LN_2PI
+        - jnp.asarray(0.5 * _LN_2PI, v.dtype)
     )
-    ln_ap = jnp.sum(ln_p, axis=3) + jnp.log(eps + a_out[:, None, :])  # (b, Bi, C)
-    return jax.nn.softmax(ln_ap, axis=2)
+    ln_ap = jnp.sum(ln_p, axis=3).astype(jnp.float32) + jnp.log(
+        eps + a_out[:, None, :]
+    )  # (b, Bi, C) f32
+    return jax.nn.softmax(ln_ap, axis=2).astype(v.dtype)
 
 
 def em_routing(
@@ -98,10 +118,16 @@ def em_routing(
       iters: static number of EM iterations (reference: 3).
 
     Returns:
-      (mu, a_out): output poses (b, 1, C, psize) and activations (b, C).
+      (mu, a_out): output poses (b, 1, C, psize) in v.dtype and
+      activations (b, C) in FLOAT32 — with lam = 1e-6 the activation
+      signal is sigmoid deviations of ~1e-3 around 0.5, below bf16's
+      resolution there, so a_out never drops to half precision.
 
     Matches caps_em_routing (models/capsules_ucf101.py:184-211): r is
     initialized uniform 1/C, and the final iteration skips the E step.
+    With f32 inputs every operation matches the literal reference form
+    (the oracle-test configuration); bf16 inputs run the documented
+    mixed-precision scheme (_m_step/_e_step docstrings).
     """
     b, Bi, C, psize = v.shape
     assert a_in.shape == (b, Bi, 1), (a_in.shape, v.shape)

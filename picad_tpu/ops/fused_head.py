@@ -117,13 +117,17 @@ def _raw_fused(x, k1, k2, drop_scale):
     # padded tap tensor — no separate full-size pad materialization
     # (measured ~20 ms/step of pure HBM traffic at the reference config).
     xp = jnp.pad(x, [(0, 0)] + [(1, 1)] * d + [(0, 0)])
-    # zp[b, *ipad^d, *tau^d] = sum_c xp[b, i, c] * Kc[b, tau, c]
+    # zp[b, *ipad^d, *tau^d] = sum_c xp[b, i, c] * Kc[b, tau, c].
+    # The 128-channel contraction accumulates in f32 even under bf16
+    # compute (preferred_element_type below): storing taps at bf16 would
+    # round each of the 125 composite values before the f32 phase
+    # accumulation, deviating from the unfused ConvT chain it must match.
     xi = [0] + list(range(1, d + 1)) + [2 * d + 1]
     ki = [0] + list(range(d + 1, 2 * d + 1)) + [2 * d + 1]
     zi = [0] + list(range(1, 2 * d + 1))
     zp = jnp.einsum(
-        xp, xi, Kc.astype(dt), ki, zi, preferred_element_type=dt
-    )  # (B, *(sp+2), *5^d), in compute dtype
+        xp, xi, Kc.astype(dt), ki, zi, preferred_element_type=f32
+    )  # (B, *(sp+2), *5^d), f32
 
     phases = []
     for phi in itertools.product((0, 1), repeat=d):

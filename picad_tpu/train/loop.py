@@ -86,12 +86,32 @@ class Trainer:
             self._load_pretrained_i3d(cfg.model.pretrained_i3d)
         self.state = jax.device_put(self.state, self.replicated)
 
+        # Device-resident video cache (data/device_cache.py): datasets
+        # carry `.cache`; the step then takes the HBM frame pools as a
+        # fifth arg and batches are ~100-byte clip metadata.
+        cache = getattr(labeled_dataset, "cache", None)
+        self._pools = None
+        if cache is not None:
+            self._pools = jax.device_put(
+                {
+                    "pool_video": cache.pool_video,
+                    "pool_mask": cache.pool_mask,
+                },
+                self.replicated,
+            )
         step_fn = make_train_step(
-            self.model, self.optimizer, cfg.loss, fold_flip=cfg.fold_flip
+            self.model, self.optimizer, cfg.loss, fold_flip=cfg.fold_flip,
+            device_cache_hw=(
+                (cfg.data.clip_height, cfg.data.clip_width)
+                if cache is not None else None
+            ),
         )
+        step_shardings = (self.replicated, self.batch_sharding, None, None)
+        if cache is not None:
+            step_shardings = step_shardings + (self.replicated,)
         self.train_step = jax.jit(
             step_fn,
-            in_shardings=(self.replicated, self.batch_sharding, None, None),
+            in_shardings=step_shardings,
             out_shardings=(self.replicated, self.replicated),
             donate_argnums=(0,),
         )
@@ -193,9 +213,14 @@ class Trainer:
             if profiling and batch_id == 3:
                 jax.profiler.start_trace(cfg.profile_dir)
                 trace_open = True
-            self.state, metrics = self.train_step(
-                self.state, batch, epoch_arr, wt_ramp
-            )
+            if self._pools is not None:
+                self.state, metrics = self.train_step(
+                    self.state, batch, epoch_arr, wt_ramp, self._pools
+                )
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, batch, epoch_arr, wt_ramp
+                )
             running.append(metrics)
             if trace_open and batch_id == 7:
                 jax.block_until_ready(metrics)
@@ -249,34 +274,42 @@ class Trainer:
         my = list(range(pidx, n, pcnt))
         longest_shard = -(-n // pcnt)  # ceil: process 0's shard
         steps = max(-(-longest_shard // bs), 1)
-        for s in range(steps):  # fixed batch + step count => no deadlock
-            idx = my[s * bs : (s + 1) * bs]
-            samples = [self.val_dataset[j] for j in idx]
-            n_real = len(samples)
-            if n_real == 0:  # short shard: all-pad step to stay in lockstep
-                template = self.val_dataset[0]
-                samples = [{k: np.zeros_like(v) for k, v in template.items()}]
-            while len(samples) < bs:  # zero-pad the ragged final batch
-                samples.append(
-                    {k: np.zeros_like(v) for k, v in samples[0].items()}
+        # Same worker pool the training batcher gets: decode (cv2/ffmpeg)
+        # releases the GIL, so validation fetches overlap each other and
+        # the running val_step instead of serializing on the main thread.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(cfg.data.workers, 1)) as pool:
+            for s in range(steps):  # fixed batch + step count => no deadlock
+                idx = my[s * bs : (s + 1) * bs]
+                samples = list(pool.map(self.val_dataset.__getitem__, idx))
+                n_real = len(samples)
+                if n_real == 0:  # short shard: all-pad step, stay in lockstep
+                    template = self.val_dataset[0]
+                    samples = [
+                        {k: np.zeros_like(v) for k, v in template.items()}
+                    ]
+                while len(samples) < bs:  # zero-pad the ragged final batch
+                    samples.append(
+                        {k: np.zeros_like(v) for k, v in samples[0].items()}
+                    )
+                batch = collate(samples)
+                row_mask = np.zeros((bs,), np.float32)
+                row_mask[:n_real] = 1.0
+                gt_np = batch["loc_msk"][..., 0]  # host copy before device_put
+                batch["row_mask"] = row_mask
+                batch = put_global_batch(batch, self.mesh)
+                seg_bin, metrics = self.val_step(
+                    self.state, batch, batch["row_mask"]
                 )
-            batch = collate(samples)
-            row_mask = np.zeros((bs,), np.float32)
-            row_mask[:n_real] = 1.0
-            gt_np = batch["loc_msk"][..., 0]  # host copy before device_put
-            batch["row_mask"] = row_mask
-            batch = put_global_batch(batch, self.mesh)
-            seg_bin, metrics = self.val_step(
-                self.state, batch, batch["row_mask"]
-            )
-            totals.append(float(metrics["loss"]))
-            accs.append(float(metrics["acc"]))
-            seg_np = local_rows(seg_bin)
-            for a in range(n_real):
-                iou = binary_mask_iou(gt_np[a], seg_np[a])
-                if iou == iou:
-                    total_iou += iou
-                    valid_iou += 1
+                totals.append(float(metrics["loss"]))
+                accs.append(float(metrics["acc"]))
+                seg_np = local_rows(seg_bin)
+                for a in range(n_real):
+                    iou = binary_mask_iou(gt_np[a], seg_np[a])
+                    if iou == iou:
+                        total_iou += iou
+                        valid_iou += 1
         print("Validation time: ", time.time() - t0)
         if not totals:
             return float("inf")

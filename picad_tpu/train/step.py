@@ -52,15 +52,34 @@ from picad_tpu.objectives.losses import (
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
 
 
-def prepare_views(batch):
+def prepare_views(batch, pools=None, out_hw=(224, 224)):
     """(data, aug_data, seg_gt) as f32, normalizing/flipping on device.
 
-    Two sample layouts (data/dataset.py `device_prep`):
-    - reference layout: float32 `data` + precomputed `aug_data`;
-    - TPU layout: uint8 `data`, no `aug_data` key — /255 and the
-      horizontal flip (ucf_dataloader.py:170-175) fuse into the step,
-      cutting H2D bytes ~8x.  Numerics identical (same f32 ops).
+    Three sample layouts:
+    - reference layout: float32 `data` + precomputed `aug_data`
+      (data/dataset.py device_prep=False);
+    - TPU streaming layout: uint8 `data`, no `aug_data` key — /255 and
+      the horizontal flip (ucf_dataloader.py:170-175) fuse into the
+      step, cutting H2D bytes ~8x.  Numerics identical (same f32 ops);
+    - device-cache layout (`pools` given, batch carries `frame_idx`):
+      the batch is ~100 bytes/sample of clip metadata and the whole
+      crop-gather happens here against the HBM-resident frame pool
+      (data/device_cache.py) — no per-step pixel H2D at all.
     """
+    if pools is not None and "frame_idx" in batch:
+        from picad_tpu.data.device_cache import assemble_clips_on_device
+
+        data_u8, seg_gt = assemble_clips_on_device(
+            pools["pool_video"],
+            pools["pool_mask"],
+            batch["frame_idx"],
+            batch["crop_y"],
+            batch["crop_x"],
+            batch["valid"],
+            out_hw,
+        )
+        data = data_u8.astype(jnp.float32) / 255.0
+        return data, jnp.flip(data, axis=3), seg_gt
     data = batch["data"]
     if data.dtype == jnp.uint8:
         data = data.astype(jnp.float32) / 255.0
@@ -119,8 +138,13 @@ def make_train_step(
     loss_cfg: LossConfig,
     *,
     fold_flip: bool = False,
+    device_cache_hw: tuple[int, int] | None = None,
 ):
-    """Build the (unjitted) train step; caller jits with shardings."""
+    """Build the (unjitted) train step; caller jits with shardings.
+
+    With `device_cache_hw=(h, w)` the returned step takes a fifth
+    argument `pools` (the DeviceVideoCache frame pools) and expects
+    metadata batches (data/device_cache.py) instead of pixel batches."""
 
     thresh_epoch = loss_cfg.thresh_epoch
     loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
@@ -150,8 +174,10 @@ def make_train_step(
         )
         return out, mutated["batch_stats"]
 
-    def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2):
-        data, aug, seg_gt = prepare_views(batch)
+    def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2, pools):
+        data, aug, seg_gt = prepare_views(
+            batch, pools, device_cache_hw or (224, 224)
+        )
         action = batch["action"].astype(jnp.int32)
         flags = batch["label_vid"].astype(jnp.float32)
         # row_mask marks real rows: the ragged final batch of an epoch is
@@ -267,11 +293,12 @@ def make_train_step(
         }
         return total, (stats, metrics)
 
-    def train_step(state, batch, epoch, wt_ramp):
+    def _step(state, batch, epoch, wt_ramp, pools):
         rng, rng1, rng2 = jax.random.split(state.rng, 3)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, epoch, wt_ramp, rng1, rng2
+            state.params, state.batch_stats, batch, epoch, wt_ramp, rng1,
+            rng2, pools,
         )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -285,6 +312,13 @@ def make_train_step(
             rng=rng,
         )
         return new_state, metrics
+
+    if device_cache_hw is not None:
+        def train_step(state, batch, epoch, wt_ramp, pools):
+            return _step(state, batch, epoch, wt_ramp, pools)
+    else:
+        def train_step(state, batch, epoch, wt_ramp):
+            return _step(state, batch, epoch, wt_ramp, None)
 
     return train_step
 

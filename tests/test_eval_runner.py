@@ -26,7 +26,7 @@ def test_padded_forward_drops_padding_rows():
 
     fwd = make_padded_forward(
         FakeModel(), {"params": {}, "batch_stats": {}},
-        clip_batch_size=6, height=16, width=16,
+        clip_batch_size=6,
     )
     out_seg, out_scores = fwd(np.zeros((4, 8, 16, 16, 3), np.float32))
     assert out_seg.shape[0] == 4 and out_scores.shape[0] == 4

@@ -4,10 +4,14 @@ Spawns 2 processes that jax.distributed.initialize against a local
 coordinator, each with 2 virtual CPU devices (4 global), then runs the
 REAL pipeline pieces across them: SemiSupervisedBatcher per-process
 strided shards -> put_global_batch (make_array_from_process_local_data)
--> the actual make_train_step (tiny stand-in model with the CapsNet
-call signature) jitted over the 4-device global mesh.  Asserts both
-processes report the SAME loss (global batch + replicated grads), which
-a per-host device_put could not produce.
+-> the actual make_train_step jitted over the 4-device global mesh.
+Asserts both processes report the SAME loss (global batch + replicated
+grads), which a per-host device_put could not produce.
+
+Two variants: a TinyNet smoke (fast; always-on signal for the sharding
+machinery) and the PRODUCTION CapsNet at 96^2 with fold_flip + bn_groups=2
+(heavy: full-model CPU compile, ~10-20 min cold per process on a 1-core
+host, fast once the persistent compile cache is warm).
 """
 
 import os
@@ -42,6 +46,8 @@ DRIVER = textwrap.dedent(
     from picad_tpu.train.state import create_train_state
     from picad_tpu.train.step import make_train_step
 
+    model_kind = sys.argv[3]
+
     class TinyNet(nn.Module):
         # CapsNet call signature; a conv + heads, enough to exercise the
         # step/sharding machinery without a 15-minute CPU compile.
@@ -58,16 +64,17 @@ DRIVER = textwrap.dedent(
             return seg, scores, None
 
     class DS:
-        def __init__(self, n, labeled):
-            self.n, self.labeled = n, labeled
+        def __init__(self, n, labeled, hw):
+            self.n, self.labeled, self.hw = n, labeled, hw
         def __len__(self):
             return self.n
         def __getitem__(self, i):
             rng = np.random.default_rng(i)
+            h = self.hw
             return {
-                'data': rng.random((8, 16, 16, 3), dtype=np.float32),
-                'aug_data': rng.random((8, 16, 16, 3), dtype=np.float32),
-                'loc_msk': (rng.random((8, 16, 16, 1)) > 0.5).astype(np.float32),
+                'data': rng.random((8, h, h, 3), dtype=np.float32),
+                'aug_data': rng.random((8, h, h, 3), dtype=np.float32),
+                'loc_msk': (rng.random((8, h, h, 1)) > 0.5).astype(np.float32),
                 'action': np.int32(i % 24),
                 'label_vid': np.int32(self.labeled),
             }
@@ -75,38 +82,48 @@ DRIVER = textwrap.dedent(
     mesh = create_mesh()  # all 4 global devices
     repl = replicated_sharding(mesh)
     shard = batch_sharding(mesh)
-    model = TinyNet()
+    if model_kind == 'capsnet':
+        # the PRODUCTION model + production step options (fold_flip with
+        # per-view BN statistics), small spatial size for CPU compile
+        from picad_tpu.models.capsules import CapsNet
+        hw, bs, fold, n_steps = 96, 2, True, 1
+        model = CapsNet(num_classes=24, bn_groups=2)
+    else:
+        hw, bs, fold, n_steps = 16, 4, False, 2
+        model = TinyNet()
     opt = make_optimizer(1e-3)
     state = create_train_state(model, opt, rng=jax.random.PRNGKey(0),
-                               sample_input_shape=(1, 8, 16, 16, 3))
+                               sample_input_shape=(1, 8, hw, hw, 3))
     state = jax.device_put(state, repl)
     step = jax.jit(
         make_train_step(model, opt, LossConfig(bv=True, n_frames=3),
-                        fold_flip=False),
+                        fold_flip=fold),
         in_shardings=(repl, shard, None, None),
         out_shardings=(repl, repl),
     )
     # 7 unlabeled -> uneven strided shards (4 vs 3) exercises the
     # lockstep steps_per_epoch + ragged row_mask padding.
-    batcher = SemiSupervisedBatcher(DS(6, 1), DS(7, 0), batch_size=4, seed=0,
-                                    workers=1)
-    assert batcher.steps_per_epoch() == 2  # ceil(ceil(7/2)/2)
+    batcher = SemiSupervisedBatcher(
+        DS(6, 1, hw), DS(7, 0, hw), batch_size=bs, seed=0, workers=1)
+    if model_kind != 'capsnet':
+        assert batcher.steps_per_epoch() == 2  # ceil(ceil(7/2)/2)
     losses = []
     for batch in batcher.epoch(1):
         gb = put_global_batch(batch, mesh)
-        assert gb['data'].shape[0] == 8  # 4 per-host rows x 2 processes
+        assert gb['data'].shape[0] == 2 * bs  # per-host rows x 2 processes
         state, metrics = step(
             state, gb, jnp.asarray(1.0, jnp.float32),
             jnp.asarray(0.5, jnp.float32),
         )
         losses.append(float(metrics['loss']))
+        if len(losses) >= n_steps:
+            break
     print('MULTIHOST_OK', pid, losses)
     """
 )
 
 
-@pytest.mark.heavy
-def test_two_process_cpu_global_batch(tmp_path):
+def _run_two_processes(tmp_path, model_kind: str, timeout: int):
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
     with socket.socket() as s:
@@ -122,13 +139,13 @@ def test_two_process_cpu_global_batch(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(driver), str(pid), port],
+            [sys.executable, str(driver), str(pid), port, model_kind],
             cwd=repo, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-3000:]
         assert "MULTIHOST_OK" in out
@@ -136,3 +153,17 @@ def test_two_process_cpu_global_batch(tmp_path):
     line0 = [l for l in outs[0][0].splitlines() if "MULTIHOST_OK" in l][0]
     line1 = [l for l in outs[1][0].splitlines() if "MULTIHOST_OK" in l][0]
     assert line0.split(" ", 2)[2] == line1.split(" ", 2)[2]
+
+
+@pytest.mark.heavy
+def test_two_process_cpu_global_batch(tmp_path):
+    _run_two_processes(tmp_path, "tiny", timeout=900)
+
+
+@pytest.mark.heavy
+def test_two_process_cpu_real_capsnet(tmp_path):
+    """The PRODUCTION CapsNet (96^2, fold_flip, per-view BN) through the
+    2-process global-batch path — identical losses across processes.
+    Cold CPU compile is slow (~10-20 min/process, 1-core host); warm
+    runs hit the persistent compile cache."""
+    _run_two_processes(tmp_path, "capsnet", timeout=3600)
