@@ -73,32 +73,28 @@ class SemiSupervisedBatcher:
         # kept, zero-padded to the compiled batch size, and flagged via
         # the per-row `row_mask` so padded rows drop out of every loss.
         self.drop_last = drop_last
-        # Rotating batch-buffer pool for the zero-copy fill_into fast
-        # path (see epoch()); lazily allocated.
-        self._pool: list[dict[str, np.ndarray]] | None = None
-        self._pool_i = 0
+        self._spec = None
 
     def _acquire_buffers(self) -> dict[str, np.ndarray]:
-        """One set of reusable per-batch arrays from a 4-deep rotation.
+        """Freshly allocated per-batch arrays for the fill_into path.
 
-        A buffer is overwritten 4 batches after it was yielded; by then
-        the PrefetchLoader (queue depth <= 2) has long device_put it, so
-        the host memory is free to reuse.  This removes all steady-state
-        batch allocations and the stack/permute copies of the slow path."""
-        if self._pool is None:
+        Allocation is cheap; the win of fill_into is skipping the
+        per-sample dicts + collate stack + whole-batch permute COPIES,
+        not the allocation.  Buffers are deliberately NOT pooled/reused:
+        device_put on remote/tunneled attachments may defer the actual
+        transfer past the call's return, so overwriting a yielded
+        buffer a few batches later both corrupts in-flight data and
+        forces the runtime to serialize transfers (a reuse pool
+        measured 47 -> 19 clips/s e2e on the tunneled bench host)."""
+        if self._spec is None:
             spec = self.unlabeled.batch_spec()
             assert spec == self.labeled.batch_spec(), "dataset spec mismatch"
-            bs = 2 * self.half
-            self._pool = [
-                {
-                    k: np.empty((bs, *shape), dtype)
-                    for k, (shape, dtype) in spec.items()
-                }
-                for _ in range(4)
-            ]
-        bufs = self._pool[self._pool_i]
-        self._pool_i = (self._pool_i + 1) % len(self._pool)
-        return bufs
+            self._spec = spec
+        bs = 2 * self.half
+        return {
+            k: np.empty((bs, *shape), dtype)
+            for k, (shape, dtype) in self._spec.items()
+        }
 
     def _host_shard(self, order: np.ndarray) -> np.ndarray:
         """Strided per-process shard of a shuffled index order."""

@@ -101,10 +101,12 @@ def _raw_fused(x, k1, k2, drop_scale):
     if (
         d == 3
         and jax.default_backend() == "tpu"
-        and sp[1] % 16 == 0
-        and sp[1] >= 18
-        and sp[2] in (24, 112)  # validated widths; Mosaic rejects the
-        # tap-GEMM contraction at some others (e.g. W=48)
+        and sp[1] % 16 == 0  # H chunking (CHUNK=16)
+        and sp[1] >= 18  # >= CHUNK + 2 halo rows
+        and sp[2] >= 8  # any lane-dim width; a round-2 Mosaic build
+        # rejected the tap GEMM at W=48, which no longer reproduces —
+        # the width sweep (48/64/80/96/112/128) compiles and matches the
+        # XLA ConvT reference (tests/test_pallas_fused_head.py)
         and x.shape[-1] % 128 == 0  # full lane tiles for the VMEM slab
     ):
         # TPU: the Pallas kernel keeps the (B, *sp, 125) tap tensor in

@@ -144,7 +144,11 @@ class Trainer:
         )
         os.makedirs(save_dir, exist_ok=True)
         self.save_dir = save_dir
-        self.logger = MetricLogger(save_dir, use_wandb=use_wandb)
+        # derived run name like the reference (main_jhmdb.py:413-415)
+        self.logger = MetricLogger(
+            save_dir, use_wandb=use_wandb,
+            run_name=f"{cfg.exp_id}_{cfg.data.dataset}_bs{cfg.bs}",
+        )
         self.best_val = BestCheckpointPolicy(
             save_dir, "val", cfg.keep_all_after_epoch
         )

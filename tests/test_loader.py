@@ -65,20 +65,23 @@ def test_fast_path_matches_slow_path():
         assert n == fast.steps_per_epoch()
 
 
-def test_fast_path_buffer_rotation_is_safe():
-    """Consumers that hold >1 batch (prefetch depth 2) must never see a
-    yielded batch mutate before the 4-deep rotation cycles back."""
+def test_fast_path_batches_never_alias():
+    """Yielded batches must be independent arrays: device_put on
+    tunneled attachments can defer the transfer past its return, so a
+    later batch must never overwrite an earlier one's memory."""
     b = SemiSupervisedBatcher(
         _make_ds(1.0, 1, n=12), _make_ds(0.0, 2, n=12), batch_size=4,
         seed=0, workers=2, process_index=0, process_count=1,
     )
-    it = iter(b.epoch(0))
-    first = next(it)
-    snapshot = {k: v.copy() for k, v in first.items()}
-    next(it)
-    next(it)  # rotation depth is 4: three more yields still leave `first` intact
-    for k in snapshot:
-        assert np.array_equal(first[k], snapshot[k]), k
+    batches = list(b.epoch(0))  # materialize ALL batches, then compare
+    assert len(batches) >= 3
+    snapshots = [{k: v.copy() for k, v in bt.items()} for bt in batches]
+    for bt, snap in zip(batches, snapshots):
+        for k in snap:
+            assert np.array_equal(bt[k], snap[k]), k
+    # and no two batches share a buffer
+    ptrs = [bt["data"].__array_interface__["data"][0] for bt in batches]
+    assert len(set(ptrs)) == len(ptrs)
 
 
 def test_prefetch_loader_preserves_order_and_count():
