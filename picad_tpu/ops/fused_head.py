@@ -192,6 +192,13 @@ def smooth_bias_map(
     multiplies y[o + 1 - beta], so the valid-tap set factorizes per axis
     into tiny indicator einsums.  Interior = full tap sum; the 1-px
     border shells get the exact partial sums.
+
+    Per-step cost: this depends on k2 (a TRAINED param), so it cannot
+    be hoisted out of the jitted step as a constant — but the d
+    indicator einsums total ~3 * out_size * 27 * M mul-adds (~0.4
+    MFLOP at the 224^2 production shape vs ~3 TFLOP/step), and XLA
+    CSEs the single call site; the device trace shows no measurable
+    bias-map op (tools/trace_step.py).
     """
     d = k2.ndim - 2
     k2v = k2[..., 0]  # (*3^d, M)

@@ -85,8 +85,12 @@ def test_fast_path_batches_never_alias():
 
 
 def test_prefetch_loader_preserves_order_and_count():
+    # identity put_fn: this tests the queue/thread ORDERING contract,
+    # not device placement — the default jax.device_put path would pay
+    # ~2 min of tunneled-TPU backend init for no extra coverage (the
+    # device path is exercised by the e2e tests and bench.py)
     batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(7)]
-    out = list(PrefetchLoader(iter(batches), prefetch=2))
+    out = list(PrefetchLoader(iter(batches), prefetch=2, put_fn=lambda b: b))
     assert len(out) == 7
     for i, b in enumerate(out):
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
@@ -97,6 +101,7 @@ def test_prefetch_loader_transform():
     loader = PrefetchLoader(
         iter(batches), prefetch=1,
         transform=lambda b: {"x": b["x"] * 2.0},
+        put_fn=lambda b: b,
     )
     for b in loader:
         np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2,), 2.0))
