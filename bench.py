@@ -126,6 +126,21 @@ def main():
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
+    # XLA's cost model counts Pallas custom-calls as 0 FLOPs; add the
+    # kernels' useful work analytically (USEFUL contractions only — the
+    # canvas-padding waste of the tap-GEMM kernels is not credited):
+    #  - tapconv (PrimaryCaps 9x9, fwd+dx+dW): 3 * 2*B*HO*WO*Ci*Co*KH*KW
+    #    at B=2*bs (fold_flip), HO=WO=20, Ci=832, Co=544, K=9x9
+    #  - fused decoder head (composite ConvT fwd + bwd kernels): every
+    #    input element feeds 125 taps x 128 channels, fwd + (dx, dKc)
+    #    backward GEMMs over the same tap view ~ 3x that contraction
+    if step_flops:
+        fold = 2 * BS
+        ho = H // 8 - 8  # 28x28 Mixed_4f map -> 20x20 after the 9x9 VALID
+        tap_fams = 3 * 2 * fold * ho * ho * 832 * 544 * 81
+        comp_elems = fold * 4 * (H // 2) * (W // 2) * 128  # (B,4,112,112,128)
+        composite = 3 * 2 * comp_elems * 125
+        step_flops += tap_fams + composite
 
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, epoch, ramp)

@@ -39,6 +39,7 @@ from picad_tpu.models.layers import Dropout3d
 from picad_tpu.ops.convops import conv_nd, conv_transpose_nd
 from picad_tpu.ops.em_routing import em_routing
 from picad_tpu.ops.fused_head import fused_decoder_head
+from picad_tpu.ops.tapconv import tap_conv_valid
 
 
 def _torch_conv_uniform(fan_in: int):
@@ -79,12 +80,20 @@ class PrimaryCaps(nn.Module):
         ba = self.param("a_bias", _torch_conv_uniform(fan_in), (self.caps_types,))
         dt = self.compute_dtype
         xc = x.astype(dt)
-        # Separate pose/act convs (NOT one merged 544-channel conv: 544
-        # pads to five 128-lane tiles where 512 is exactly four — the
-        # merged variant measured ~1.5 ms/step SLOWER in fwd+bwd).
-        p = conv_nd(xc, wp.astype(dt), 1, "VALID") + bp
-        a = conv_nd(xc, wa.astype(dt), 1, "VALID") + ba
-        a = jax.nn.sigmoid(a)
+        # ONE merged 544-channel tap-GEMM conv (ops/tapconv.py): on TPU
+        # the 9x9 family runs as 81 flat MXU GEMMs per direction with
+        # the accumulator VMEM-resident — the single biggest win of the
+        # round-3 trace (XLA's conv emitters ran fwd/dx/dW at 8-24%
+        # MFU, ~42 ms of a ~73 ms step).  Off-TPU this is the literal
+        # lax conv.  (An earlier merged-conv attempt under the XLA
+        # emitter measured slower — five lane tiles vs four — but the
+        # tap-GEMM form reads x once for both heads, and its N=544 lane
+        # padding costs less than a second pass.)
+        pa = tap_conv_valid(xc, jnp.concatenate(
+            [wp, wa], axis=-1).astype(dt))
+        psz = self.caps_types * psize
+        p = pa[..., :psz] + bp
+        a = jax.nn.sigmoid(pa[..., psz:] + ba)
         # (B, 20, 20, caps*psize + caps) — already channel-last like the
         # reference's permute(0, 2, 3, 1) output (:47-49).
         return jnp.concatenate([p, a], axis=-1)

@@ -101,6 +101,13 @@ def _raw_fused(x, k1, k2, drop_scale):
     if (
         d == 3
         and jax.default_backend() == "tpu"
+        and jnp.dtype(dt).itemsize == 2  # PRODUCTION dtype only: the f32
+        # model path stays on the XLA chain, which is the golden-parity
+        # baseline — the kernel's tap-major accumulation order shifts
+        # f32 losses by ~3e-4 rel through the EM cost_std amplification
+        # (observed at the 96^2 train-parity shape), while bf16
+        # tolerances absorb it.  The f32 kernel itself stays covered by
+        # the direct tests (tests/test_pallas_fused_head.py).
         and sp[1] % 16 == 0  # H chunking (CHUNK=16)
         and sp[1] >= 18  # >= CHUNK + 2 halo rows
         and sp[2] >= 8  # any lane-dim width; a round-2 Mosaic build

@@ -118,6 +118,16 @@ def _fwd_kernel(x_hbm, k_ref, y_ref, slab, zbuf, sems):
                     data[slot, r],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # 16-bit operands must contract at DEFAULT precision:
+                    # an ambient `highest` (tests/conftest.py) asks Mosaic
+                    # for a multi-pass bf16 emulation it rejects ("Bad
+                    # lhs type"); accumulation is f32 regardless via
+                    # preferred_element_type.
+                    precision=(
+                        jax.lax.Precision.DEFAULT
+                        if jnp.dtype(data.dtype).itemsize == 2
+                        else None
+                    ),
                 )  # (NTAPS, W)
 
         z = zbuf[:]  # (3, CHUNK+2, NTAPS, W)
@@ -326,6 +336,13 @@ def _bwd_kernel(gp_hbm, x_hbm, k_ref, dx_ref, dk_ref, gslab, xslab,
                 Gr, K,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # see the forward kernel: 16-bit K under an ambient
+                # `highest` is rejected by Mosaic
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if jnp.dtype(K.dtype).itemsize == 2
+                    else None
+                ),
             ).astype(dx_ref.dtype)  # (W, C)
             dk_part = jax.lax.dot_general(
                 Gr, xsl[r].astype(jnp.float32),

@@ -1,0 +1,466 @@
+"""Exact Pallas tap-GEMM kernels for stride-1 VALID 2-D convolutions.
+
+Built for the PrimaryCaps 9x9 convs (models/capsules_ucf101.py:33-41:
+two VALID convs over the (B, 28, 28, 832) Mixed_4f map).  XLA's conv
+emitters run this family at 8-24% MFU on TPU (the 9x9 window defeats
+its tiling: the round-3 device trace showed fwd ~10 ms, input-grad
+~19 ms, weight-grad ~13 ms for ~0.9 TFLOP of work each, i.e. the
+whole family costs ~42 ms of a ~73 ms train step).  Reformulated as
+81 full-width MXU GEMMs each, the family is pure matmul at MXU-native
+shapes (M~12.5k, K=832, N=544).
+
+The formulation — "flat tap GEMMs":
+
+Flatten x to (M, Ci) with M = B*H*W row-major.  For tap t = (dy, dx)
+let off = dy*W + dx.  Then a VALID conv is
+
+    out[m] += x[m + off] @ W[t]          (m enumerates the B*H*W canvas)
+
+where out rows with y >= HO or x >= WO are garbage that a final crop
+drops.  The shift never crosses a sample boundary inside the valid
+region: for valid rows m_local <= (HO-1)*W + WO-1, m_local + off <=
+H*W - 1.  The gradients use the same identity:
+
+    dx[m]  = sum_t gcan[m - off(t)] @ W[t]^T      (gcan = g zero-embedded
+                                                   into the (B, H, W) canvas)
+    dW[t]  = sum_m x[m + off(t)] (x) gcan[m]
+
+both exact for the same reason — every out-of-range or cross-sample
+read lands on an explicit zero row of the canvas.
+
+TPU mechanics (fwd/dx — the chunk-grid kernels):
+
+- grid = (M-chunks,); every tap offset is a COMPILE-TIME constant, so
+  the 81 tap GEMMs per chunk are static even-row slices of a slab that
+  accumulate in registers — no psum HBM/VMEM round-trips (a v1 design
+  with grid=(ntaps,) paid an accumulator RMW per (tap, chunk)), and no
+  dynamic slicing at all.
+- The slab is blocks (c, c+1) of the flat rows (the caller end/front-
+  extends by one zero chunk), delivered as ordinary ALIGNED BlockSpec
+  blocks — dense (8,128) tiling, dense loads.  A v1 design that read
+  dynamic-offset slabs through a degenerate (rows, 1, C)-tiled layout
+  (the fused-head-backward trick) measured ~2x slower than the GEMMs
+  alone: degenerate-layout vector loads, not arithmetic, dominated.
+- 16-bit rows sublane-pack (2,1), making odd-row static slices illegal;
+  PAIRS of rows are packed into i32 words XLA-side
+  (lax.bitcast_convert_type) in BOTH alignments, and one
+  pltpu.bitcast per plane per chunk unpacks the slab in-VMEM — odd
+  shifts become even slices of the odd-aligned plane.
+- The weight-grad kernel keeps the v1 structure (grid=(ntaps,), tap
+  offsets are grid indices → dynamic untiled-dim slices through a
+  (pairs, rows, 1, C) layout), since its 81 accumulators cannot all be
+  VMEM-resident; its psum per tap is small, so only the slab-load cost
+  applies.
+
+Dispatch: `tap_conv_valid` uses the kernels on TPU when PICAD_TAPCONV=1
+and the shape gate passes, and falls back to the literal lax conv
+elsewhere — both paths produce identical math (f32: bit-identical
+contraction per tap; the tap-sum order differs from XLA's internal conv
+accumulation by normal float reassociation only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from picad_tpu.ops.convops import conv_nd
+
+_CHUNK = 512  # bf16 rows per in-body GEMM chunk (256 i32 words)
+
+# Dispatch switch: "1" = use the Pallas kernels on TPU, "0" = always the
+# XLA conv.  Defaults OFF pending an in-context A/B on hardware — the
+# kernels are correctness-validated on TPU (v1) and in interpret mode
+# (v2), but the axon tunnel died before the v2 chunk-grid rewrite could
+# be timed inside the train step, and an unattended bench must not risk
+# a fresh Mosaic rejection.  Flip with PICAD_TAPCONV=1.
+import os
+
+_ENABLED = os.environ.get("PICAD_TAPCONV", "0") == "1"
+
+
+def _dot_precision(dtype):
+    """16-bit operands contract at DEFAULT precision: an ambient
+    `highest` (tests/conftest.py) asks Mosaic for a multi-pass bf16
+    emulation it rejects ("Bad lhs type"); accumulation is f32 anyway
+    via preferred_element_type.  32-bit operands inherit ambient."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(dtype).itemsize == 2
+        else None
+    )
+
+
+def _pack_rows(flat: jax.Array, front_pad: int, end_pad: int, *, forward: bool):
+    """(M, C) 16/32-bit -> (pairs, rows, 1, C) 32-bit HBM layout for the
+    DYNAMIC-offset kernels (the weight-grad kernel, whose tap offsets are
+    grid indices).
+
+    For 16-bit dtypes returns both pair-alignments of the row packing —
+    index 0 packs rows (2s, 2s+1); index 1 is offset by one row so that
+    an ODD row shift becomes an even word shift:
+      forward=True  (kernels read flat[m + off]): odd[i] = flat[i + 1],
+        word s holds (flat[2s+1], flat[2s+2]);
+      forward=False (kernels read flat[m - off]): odd[i] = flat[i - 1],
+        word s holds (flat[2s-1], flat[2s]).
+    front_pad/end_pad zero rows (even counts) keep every slice in
+    bounds.  32-bit dtypes need no packing: returns (1, rows, 1, C).
+    """
+    M, C = flat.shape
+    assert front_pad % 2 == 0 and end_pad % 2 == 0
+    itemsize = flat.dtype.itemsize
+    if itemsize == 4:
+        rows = jnp.pad(flat, ((front_pad, end_pad), (0, 0)))
+        return rows.reshape(1, M + front_pad + end_pad, 1, C), flat.dtype
+    assert itemsize == 2, flat.dtype
+    i32 = jnp.int32
+    even = jnp.pad(flat, ((front_pad, end_pad + 2), (0, 0)))
+    if forward:
+        assert front_pad == 0, "forward packing assumes no front pad"
+        odd = jnp.pad(flat[1:], ((0, end_pad + 3), (0, 0)))
+    else:
+        odd = jnp.pad(flat, ((front_pad + 1, end_pad + 1), (0, 0)))
+    n2 = (M + front_pad + end_pad + 2) // 2
+
+    def pack(a):
+        a = a.reshape(n2, 2, C).swapaxes(1, 2)  # (n2, C, 2)
+        return lax.bitcast_convert_type(a, i32)  # (n2, C)
+
+    return jnp.stack([pack(even), pack(odd)]).reshape(2, n2, 1, C), flat.dtype
+
+
+def _pack2(flat: jax.Array, *, forward: bool):
+    """(R, C) -> DENSE (pairs, words, C) for the chunk-grid kernels.
+
+    16-bit: two pair-alignments packed into i32 words (see _pack_rows for
+    the alignment convention); R must be even.  32-bit: (1, R, C) as-is.
+    The chunk-grid kernels only ever slice `words` on BlockSpec
+    boundaries (aligned), so no dummy tile dim is needed — blocks stay
+    (8,128)-tiled and in-kernel loads are dense.
+    """
+    R, C = flat.shape
+    itemsize = flat.dtype.itemsize
+    if itemsize == 4:
+        return flat.reshape(1, R, C)
+    assert itemsize == 2 and R % 2 == 0, (flat.dtype, R)
+    even = flat
+    if forward:
+        odd = jnp.pad(flat[1:], ((0, 1), (0, 0)))
+    else:
+        odd = jnp.pad(flat[:-1], ((1, 0), (0, 0)))
+
+    def pack(a):
+        a = a.reshape(R // 2, 2, C).swapaxes(1, 2)
+        return lax.bitcast_convert_type(a, jnp.int32)  # (R//2, C)
+
+    return jnp.stack([pack(even), pack(odd)])  # (2, R//2, C)
+
+
+def _slab(ref, pair, start, nrows, dtype):
+    """Load `nrows` (compute-dtype) rows at dynamic row offset `start`
+    from a packed (pairs, rows, 1, C) i32/f32 ref; returns (nrows, C)."""
+    if dtype.itemsize == 4:
+        return ref[0, pl.ds(start, nrows), 0, :]
+    words = ref[pair, pl.ds(start, nrows // 2), 0, :]
+    return pltpu.bitcast(words, dtype)
+
+
+def _tap_off(t, kw, w):
+    dy = t // kw
+    dx = lax.rem(t, kw)
+    off = dy * w + dx
+    # packed-pair addressing (unused by the 32-bit paths)
+    pair = lax.rem(off, 2)
+    word = off // 2
+    return off, pair, word
+
+
+def _unpack_slab(cur_ref, nxt_ref, dtype):
+    """Two consecutive (pairs, cm_w, C) blocks -> per-alignment compute-
+    dtype slabs of 2*cm rows (ONE bitcast per plane per chunk)."""
+    if dtype.itemsize == 4:
+        slab = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0)
+        return slab, slab
+    ea = pltpu.bitcast(
+        jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0), dtype
+    )
+    ob = pltpu.bitcast(
+        jnp.concatenate([cur_ref[1], nxt_ref[1]], axis=0), dtype
+    )
+    return ea, ob
+
+
+def _chunk_kernel(ntaps, kw, w_dim, cm, dtype, back_shift,
+                  cur_ref, nxt_ref, w_ref, out_ref):
+    """One output chunk of a tap-GEMM conv; taps are a STATIC loop
+    accumulating in registers (no psum round-trips, no dynamic slices).
+
+    Forward (back_shift=0):    out[m] reads slab row (m - c*cm) + off(t)
+    Backward (back_shift=cm):  out[m] reads slab row (m - c*cm) + cm - off(t)
+    where slab = packed blocks c, c+1 (the backward caller front-extends
+    the rows by one zero chunk) and every tap offset is a compile-time
+    constant: static even-row slices of the once-per-chunk unpacked
+    slab.  W is (ntaps, Co, Ci), resident; forward contracts its lane
+    dim (transpose_rhs), backward its sublane dim.
+    """
+    ea, ob = _unpack_slab(cur_ref, nxt_ref, dtype)
+    contract = ((1,), (1,)) if back_shift == 0 else ((1,), (0,))
+    acc = None
+    for t in range(ntaps):
+        dy, dx = divmod(t, kw)
+        off = dy * w_dim + dx
+        idx = (back_shift - off) if back_shift else off
+        if dtype.itemsize == 4 or idx % 2 == 0:
+            sub = ea[idx:idx + cm]
+        else:
+            # ob row r = flat[r + 1] (forward packing) / flat[r - 1]
+            # (backward packing): the start index becomes even
+            s0 = idx - 1 if back_shift == 0 else idx + 1
+            sub = ob[s0:s0 + cm]
+        p = jax.lax.dot_general(
+            sub, w_ref[t],
+            dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(dtype),
+        )
+        acc = p if acc is None else acc + p
+    out_ref[...] = acc
+
+
+def _dw_kernel(nchunks, kw, w_dim, cm, dtype, x_ref, g_ref, dw_ref):
+    """dW[t] = sum_m x[m + off(t)] (x) gcan[m]; grid=(ntaps,)."""
+    t = pl.program_id(0)
+    _, pair, word = _tap_off(t, kw, w_dim)
+    acc = None
+    for c in range(nchunks):
+        if dtype.itemsize == 4:
+            xs = _slab(x_ref, 0, c * cm + (word * 2 + pair), cm, dtype)
+            gs = _slab(g_ref, 0, c * cm, cm, dtype)
+        else:
+            xs = _slab(x_ref, pair, c * (cm // 2) + word, cm, dtype)
+            gs = _slab(g_ref, 0, c * (cm // 2), cm, dtype)
+        p = jax.lax.dot_general(
+            xs, gs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(dtype),
+        )
+        acc = p if acc is None else acc + p
+    dw_ref[0] = acc
+
+
+def _vmem_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
+def _pad_rows_to(flat, mult):
+    m = flat.shape[0]
+    mp = -(-m // mult) * mult
+    if mp != m:
+        flat = jnp.pad(flat, ((0, mp - m), (0, 0)))
+    return flat
+
+
+def _fwd_impl(x, w, *, interpret=False):
+    B, H, W, Ci = x.shape
+    KH, KW, _, Co = w.shape
+    dtype = x.dtype
+    M = B * H * W
+    cm = _CHUNK
+    assert (KH - 1) * W + KW - 1 <= cm - 2, "tap shifts exceed slab"
+    flat = _pad_rows_to(x.reshape(M, Ci), cm)
+    Mp = flat.shape[0]
+    nb = Mp // cm
+    # one extra zero chunk so every grid step can read blocks (c, c+1)
+    flat = jnp.pad(flat, ((0, cm), (0, 0)))
+    packed = _pack2(flat, forward=True)
+    div = 2 if dtype.itemsize == 2 else 1
+    cw = cm // div
+    # W stored (ntaps, Co, Ci): forward contracts the Ci lane dim
+    # (transpose_rhs), so only Ci pays lane padding
+    wt = w.reshape(KH * KW, Ci, Co).swapaxes(1, 2).astype(dtype)
+    out = pl.pallas_call(
+        functools.partial(
+            _chunk_kernel, KH * KW, KW, W, cm, jnp.dtype(dtype), 0
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((packed.shape[0], cw, Ci), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((packed.shape[0], cw, Ci), lambda c: (0, c + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cm, Co), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(packed, packed, wt)
+    out = out[:M].reshape(B, H, W, Co)[:, : H - KH + 1, : W - KW + 1, :]
+    return out.astype(dtype)
+
+
+def _dx_impl(g, w, x_shape, *, interpret=False):
+    """g: (B, HO, WO, Co) cotangent -> dx (B, H, W, Ci)."""
+    B, H, W, Ci = x_shape
+    KH, KW, _, Co = w.shape
+    dtype = g.dtype
+    HO, WO = H - KH + 1, W - KW + 1
+    gcan = jnp.pad(g, ((0, 0), (0, H - HO), (0, W - WO), (0, 0)))
+    M = B * H * W
+    cm = _CHUNK
+    assert (KH - 1) * W + KW - 1 <= cm - 2, "tap shifts exceed slab"
+    flat = _pad_rows_to(gcan.reshape(M, Co), cm)
+    Mp = flat.shape[0]
+    nb = Mp // cm
+    # front-extend by one zero chunk: out chunk c reads extended blocks
+    # (c, c+1), i.e. rows [c*cm - cm, (c+1)*cm) of gcan — covering every
+    # backward shift up to cm
+    flat = jnp.pad(flat, ((cm, 0), (0, 0)))
+    packed = _pack2(flat, forward=False)
+    div = 2 if dtype.itemsize == 2 else 1
+    cw = cm // div
+    wt = w.reshape(KH * KW, Ci, Co).swapaxes(1, 2).astype(dtype)
+    dx = pl.pallas_call(
+        functools.partial(
+            _chunk_kernel, KH * KW, KW, W, cm, jnp.dtype(dtype), cm
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((packed.shape[0], cw, Co), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((packed.shape[0], cw, Co), lambda c: (0, c + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wt.shape, lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cm, Ci), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Ci), jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(packed, packed, wt)
+    return dx[:M].reshape(B, H, W, Ci).astype(dtype)
+
+
+def _dw_impl(x, g, kshape, *, interpret=False):
+    """dW[t] from x and the zero-embedded cotangent canvas; f32 out."""
+    B, H, W, Ci = x.shape
+    KH, KW, _, Co = kshape
+    dtype = x.dtype
+    HO, WO = H - KH + 1, W - KW + 1
+    gcan = jnp.pad(g, ((0, 0), (0, H - HO), (0, W - WO), (0, 0)))
+    M = B * H * W
+    xf = _pad_rows_to(x.reshape(M, Ci), _CHUNK)
+    gf = _pad_rows_to(gcan.reshape(M, Co), _CHUNK)
+    Mp = xf.shape[0]
+    nchunks = Mp // _CHUNK
+    tmax = (KH - 1) * W + KW - 1
+    xp, _ = _pack_rows(xf, 0, tmax + 2 + (tmax & 1), forward=True)
+    gp, _ = _pack_rows(gf, 0, 2, forward=True)
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, nchunks, KW, W, _CHUNK, jnp.dtype(dtype)),
+        grid=(KH * KW,),
+        in_specs=[
+            pl.BlockSpec(xp.shape, lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(gp.shape, lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ci, Co), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((KH * KW, Ci, Co), jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(xp, gp)
+    return dw.reshape(KH, KW, Ci, Co)
+
+
+def _use_pallas(x_shape, kshape, dtype) -> bool:
+    """Gate: TPU, 2-D, even flat-M 16-bit packing, and VMEM headroom."""
+    if not _ENABLED:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(x_shape) != 4 or len(kshape) != 4:
+        return False
+    B, H, W, Ci = x_shape
+    KH, KW, _, Co = kshape
+    if H < KH or W < KW:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    # PRODUCTION (16-bit) dtypes only: f32 model paths stay on the XLA
+    # conv, the golden-parity baseline (the tap-major accumulation order
+    # perturbs f32 results at the reassociation level, which the
+    # EM-routing cost_std quirk amplifies past golden tolerances).  The
+    # f32 kernels remain covered by the interpret-mode oracle tests.
+    if itemsize != 2:
+        return False
+    if (B * H * W) % 2:
+        return False
+    M = B * H * W
+    Mp = -(-M // _CHUNK) * _CHUNK
+    lanes = -(-max(Ci, Co) // 128) * 128
+    # resident packed input (+ pair copy for 16-bit) + f32 accumulator
+    resident = (2 if itemsize == 2 else 1) * Mp * lanes * itemsize
+    resident += Mp * lanes * 4
+    if resident > 90 * 1024 * 1024:
+        return False
+    # every tap shift must fit inside the one-chunk slab extension
+    if (KH - 1) * W + KW - 1 > _CHUNK - 2:
+        return False
+    # the kernels only help when the tap GEMMs are MXU-sized
+    if M < 4096 or Ci < 128 or KH * KW < 9:
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def tap_conv_valid(x: jax.Array, w: jax.Array, interpret: bool = False):
+    """Stride-1 VALID conv (B, H, W, Ci) * (KH, KW, Ci, Co), channels-last.
+
+    Pallas tap-GEMM kernels on TPU (exact; see module docstring), literal
+    lax conv elsewhere.  Gradients are defined for x and w.
+    """
+    if interpret or _use_pallas(x.shape, w.shape, x.dtype):
+        return _fwd_impl(x, w.astype(x.dtype), interpret=interpret)
+    return conv_nd(x, w.astype(x.dtype), 1, "VALID")
+
+
+def _tap_fwd(x, w, interpret):
+    return tap_conv_valid(x, w, interpret), (x, w)
+
+
+def _tap_bwd(interpret, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    if interpret or _use_pallas(x.shape, w.shape, x.dtype):
+        dx = _dx_impl(g, w.astype(x.dtype), x.shape, interpret=interpret)
+        dw = _dw_impl(x, g, w.shape, interpret=interpret)
+        return dx, dw.astype(w.dtype)
+    # XLA fallback: dgrad as a flipped full conv; wgrad as a conv over
+    # the batch dim (the standard transposes).
+    KH, KW, Ci, Co = w.shape
+    wf = jnp.flip(w.astype(x.dtype), axis=(0, 1)).swapaxes(2, 3)
+    dx = conv_nd(g, wf, 1, [(KH - 1, KH - 1), (KW - 1, KW - 1)])
+    dw = lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0),
+        g.transpose(1, 2, 0, 3),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=lax.conv_dimension_numbers(
+            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+        ),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 2, 0, 3)
+    return dx, dw.astype(w.dtype)
+
+
+tap_conv_valid.defvjp(_tap_fwd, _tap_bwd)
