@@ -62,6 +62,7 @@ accumulation by normal float reassociation only).
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -170,11 +171,21 @@ def _slab(ref, pair, start, nrows, dtype):
     return pltpu.bitcast(words, dtype)
 
 
-def _tap_off(t, kw, w):
-    dy = t // kw
-    dx = lax.rem(t, kw)
-    off = dy * w + dx
-    # packed-pair addressing (unused by the 32-bit paths)
+def _tap_off(t, kdims, strides):
+    """Flat row shift of a (dynamic, grid-index) tap t: unravel t over
+    the kernel dims (row-major) and contract with the flat row strides.
+    Returns (off, pair, word) for packed-pair addressing."""
+    off = None
+    rem = t
+    n = len(kdims)
+    for i in range(n):
+        trailing = 1
+        for k in kdims[i + 1:]:
+            trailing *= k
+        idx = rem // trailing if trailing > 1 else rem
+        rem = lax.rem(rem, trailing) if trailing > 1 else rem * 0
+        term = idx * strides[i]
+        off = term if off is None else off + term
     pair = lax.rem(off, 2)
     word = off // 2
     return off, pair, word
@@ -195,25 +206,25 @@ def _unpack_slab(cur_ref, nxt_ref, dtype):
     return ea, ob
 
 
-def _chunk_kernel(ntaps, kw, w_dim, cm, dtype, back_shift,
+def _chunk_kernel(offsets, cm, dtype, back_shift,
                   cur_ref, nxt_ref, w_ref, out_ref):
     """One output chunk of a tap-GEMM conv; taps are a STATIC loop
     accumulating in registers (no psum round-trips, no dynamic slices).
 
+    `offsets` are the flat row shifts of the taps (any spatial rank —
+    sum of per-dim tap index times row stride), compile-time constants.
     Forward (back_shift=0):    out[m] reads slab row (m - c*cm) + off(t)
     Backward (back_shift=cm):  out[m] reads slab row (m - c*cm) + cm - off(t)
     where slab = packed blocks c, c+1 (the backward caller front-extends
-    the rows by one zero chunk) and every tap offset is a compile-time
-    constant: static even-row slices of the once-per-chunk unpacked
-    slab.  W is (ntaps, Co, Ci), resident; forward contracts its lane
-    dim (transpose_rhs), backward its sublane dim.
+    the rows by one zero chunk): static even-row slices of the
+    once-per-chunk unpacked slab.  W is (ntaps, Co, Ci), resident;
+    forward contracts its lane dim (transpose_rhs), backward its
+    sublane dim.
     """
     ea, ob = _unpack_slab(cur_ref, nxt_ref, dtype)
     contract = ((1,), (1,)) if back_shift == 0 else ((1,), (0,))
     acc = None
-    for t in range(ntaps):
-        dy, dx = divmod(t, kw)
-        off = dy * w_dim + dx
+    for t, off in enumerate(offsets):
         idx = (back_shift - off) if back_shift else off
         if dtype.itemsize == 4 or idx % 2 == 0:
             sub = ea[idx:idx + cm]
@@ -232,10 +243,10 @@ def _chunk_kernel(ntaps, kw, w_dim, cm, dtype, back_shift,
     out_ref[...] = acc
 
 
-def _dw_kernel(nchunks, kw, w_dim, cm, dtype, x_ref, g_ref, dw_ref):
+def _dw_kernel(nchunks, kdims, strides, cm, dtype, x_ref, g_ref, dw_ref):
     """dW[t] = sum_m x[m + off(t)] (x) gcan[m]; grid=(ntaps,)."""
     t = pl.program_id(0)
-    _, pair, word = _tap_off(t, kw, w_dim)
+    _, pair, word = _tap_off(t, kdims, strides)
     acc = None
     for c in range(nchunks):
         if dtype.itemsize == 4:
@@ -266,13 +277,33 @@ def _pad_rows_to(flat, mult):
     return flat
 
 
+def _spatial(x_shape, kshape):
+    """(B, spatial dims, strides, kernel dims, flat offsets, out dims)."""
+    B = x_shape[0]
+    sp = tuple(x_shape[1:-1])
+    kd = tuple(kshape[:-2])
+    strides = []
+    acc = 1
+    for d in reversed(sp):
+        strides.append(acc)
+        acc *= d
+    strides = tuple(reversed(strides))  # row strides of the flat canvas
+    offsets = []
+    for tap in itertools.product(*(range(k) for k in kd)):
+        offsets.append(sum(i * s for i, s in zip(tap, strides)))
+    out_dims = tuple(d - k + 1 for d, k in zip(sp, kd))
+    return B, sp, strides, kd, tuple(offsets), out_dims
+
+
 def _fwd_impl(x, w, *, interpret=False):
-    B, H, W, Ci = x.shape
-    KH, KW, _, Co = w.shape
+    B, sp, strides, kd, offsets, od = _spatial(x.shape, w.shape)
+    Ci, Co = w.shape[-2], w.shape[-1]
     dtype = x.dtype
-    M = B * H * W
+    M = B
+    for d in sp:
+        M *= d
     cm = _CHUNK
-    assert (KH - 1) * W + KW - 1 <= cm - 2, "tap shifts exceed slab"
+    assert max(offsets) <= cm - 2, "tap shifts exceed slab"
     flat = _pad_rows_to(x.reshape(M, Ci), cm)
     Mp = flat.shape[0]
     nb = Mp // cm
@@ -281,12 +312,13 @@ def _fwd_impl(x, w, *, interpret=False):
     packed = _pack2(flat, forward=True)
     div = 2 if dtype.itemsize == 2 else 1
     cw = cm // div
+    ntaps = len(offsets)
     # W stored (ntaps, Co, Ci): forward contracts the Ci lane dim
     # (transpose_rhs), so only Ci pays lane padding
-    wt = w.reshape(KH * KW, Ci, Co).swapaxes(1, 2).astype(dtype)
+    wt = w.reshape(ntaps, Ci, Co).swapaxes(1, 2).astype(dtype)
     out = pl.pallas_call(
         functools.partial(
-            _chunk_kernel, KH * KW, KW, W, cm, jnp.dtype(dtype), 0
+            _chunk_kernel, offsets, cm, jnp.dtype(dtype), 0
         ),
         grid=(nb,),
         in_specs=[
@@ -303,20 +335,25 @@ def _fwd_impl(x, w, *, interpret=False):
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(packed, packed, wt)
-    out = out[:M].reshape(B, H, W, Co)[:, : H - KH + 1, : W - KW + 1, :]
-    return out.astype(dtype)
+    out = out[:M].reshape(B, *sp, Co)
+    crop = (slice(None),) + tuple(slice(0, o) for o in od)
+    return out[crop].astype(dtype)
 
 
 def _dx_impl(g, w, x_shape, *, interpret=False):
-    """g: (B, HO, WO, Co) cotangent -> dx (B, H, W, Ci)."""
-    B, H, W, Ci = x_shape
-    KH, KW, _, Co = w.shape
+    """g: (B, *out_dims, Co) cotangent -> dx (B, *spatial, Ci)."""
+    B, sp, strides, kd, offsets, od = _spatial(x_shape, w.shape)
+    Ci, Co = w.shape[-2], w.shape[-1]
     dtype = g.dtype
-    HO, WO = H - KH + 1, W - KW + 1
-    gcan = jnp.pad(g, ((0, 0), (0, H - HO), (0, W - WO), (0, 0)))
-    M = B * H * W
+    gcan = jnp.pad(
+        g,
+        ((0, 0),) + tuple((0, d - o) for d, o in zip(sp, od)) + ((0, 0),),
+    )
+    M = B
+    for d in sp:
+        M *= d
     cm = _CHUNK
-    assert (KH - 1) * W + KW - 1 <= cm - 2, "tap shifts exceed slab"
+    assert max(offsets) <= cm - 2, "tap shifts exceed slab"
     flat = _pad_rows_to(gcan.reshape(M, Co), cm)
     Mp = flat.shape[0]
     nb = Mp // cm
@@ -327,10 +364,11 @@ def _dx_impl(g, w, x_shape, *, interpret=False):
     packed = _pack2(flat, forward=False)
     div = 2 if dtype.itemsize == 2 else 1
     cw = cm // div
-    wt = w.reshape(KH * KW, Ci, Co).swapaxes(1, 2).astype(dtype)
+    ntaps = len(offsets)
+    wt = w.reshape(ntaps, Ci, Co).swapaxes(1, 2).astype(dtype)
     dx = pl.pallas_call(
         functools.partial(
-            _chunk_kernel, KH * KW, KW, W, cm, jnp.dtype(dtype), cm
+            _chunk_kernel, offsets, cm, jnp.dtype(dtype), cm
         ),
         grid=(nb,),
         in_specs=[
@@ -347,27 +385,35 @@ def _dx_impl(g, w, x_shape, *, interpret=False):
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(packed, packed, wt)
-    return dx[:M].reshape(B, H, W, Ci).astype(dtype)
+    return dx[:M].reshape(B, *sp, Ci).astype(dtype)
 
 
 def _dw_impl(x, g, kshape, *, interpret=False):
     """dW[t] from x and the zero-embedded cotangent canvas; f32 out."""
-    B, H, W, Ci = x.shape
-    KH, KW, _, Co = kshape
+    B, sp, strides, kd, offsets, od = _spatial(x.shape, kshape)
+    Ci, Co = kshape[-2], kshape[-1]
     dtype = x.dtype
-    HO, WO = H - KH + 1, W - KW + 1
-    gcan = jnp.pad(g, ((0, 0), (0, H - HO), (0, W - WO), (0, 0)))
-    M = B * H * W
-    xf = _pad_rows_to(x.reshape(M, Ci), _CHUNK)
-    gf = _pad_rows_to(gcan.reshape(M, Co), _CHUNK)
+    gcan = jnp.pad(
+        g,
+        ((0, 0),) + tuple((0, d - o) for d, o in zip(sp, od)) + ((0, 0),),
+    )
+    M = B
+    for d in sp:
+        M *= d
+    cm = _CHUNK
+    xf = _pad_rows_to(x.reshape(M, Ci), cm)
+    gf = _pad_rows_to(gcan.reshape(M, Co), cm)
     Mp = xf.shape[0]
-    nchunks = Mp // _CHUNK
-    tmax = (KH - 1) * W + KW - 1
+    nchunks = Mp // cm
+    tmax = max(offsets)
     xp, _ = _pack_rows(xf, 0, tmax + 2 + (tmax & 1), forward=True)
     gp, _ = _pack_rows(gf, 0, 2, forward=True)
+    ntaps = len(offsets)
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, nchunks, KW, W, _CHUNK, jnp.dtype(dtype)),
-        grid=(KH * KW,),
+        functools.partial(
+            _dw_kernel, nchunks, kd, strides, cm, jnp.dtype(dtype)
+        ),
+        grid=(ntaps,),
         in_specs=[
             pl.BlockSpec(xp.shape, lambda t: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -376,24 +422,24 @@ def _dw_impl(x, g, kshape, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, Ci, Co), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((KH * KW, Ci, Co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntaps, Ci, Co), jnp.float32),
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(xp, gp)
-    return dw.reshape(KH, KW, Ci, Co)
+    return dw.reshape(*kd, Ci, Co)
 
 
 def _use_pallas(x_shape, kshape, dtype) -> bool:
-    """Gate: TPU, 2-D, even flat-M 16-bit packing, and VMEM headroom."""
+    """Gate: enabled, TPU, 16-bit, even flat M, VMEM headroom, MXU-sized."""
     if not _ENABLED:
         return False
     if jax.default_backend() != "tpu":
         return False
-    if len(x_shape) != 4 or len(kshape) != 4:
+    if len(x_shape) != len(kshape) or len(x_shape) < 4:
         return False
-    B, H, W, Ci = x_shape
-    KH, KW, _, Co = kshape
-    if H < KH or W < KW:
+    B, sp, strides, kd, offsets, od = _spatial(x_shape, kshape)
+    Ci, Co = kshape[-2], kshape[-1]
+    if any(d < k for d, k in zip(sp, kd)):
         return False
     itemsize = jnp.dtype(dtype).itemsize
     # PRODUCTION (16-bit) dtypes only: f32 model paths stay on the XLA
@@ -403,28 +449,30 @@ def _use_pallas(x_shape, kshape, dtype) -> bool:
     # f32 kernels remain covered by the interpret-mode oracle tests.
     if itemsize != 2:
         return False
-    if (B * H * W) % 2:
+    M = B
+    for d in sp:
+        M *= d
+    if M % 2:
         return False
-    M = B * H * W
     Mp = -(-M // _CHUNK) * _CHUNK
     lanes = -(-max(Ci, Co) // 128) * 128
     # resident packed input (+ pair copy for 16-bit) + f32 accumulator
-    resident = (2 if itemsize == 2 else 1) * Mp * lanes * itemsize
-    resident += Mp * lanes * 4
+    resident = 2 * Mp * lanes * itemsize + Mp * lanes * 4
     if resident > 90 * 1024 * 1024:
         return False
     # every tap shift must fit inside the one-chunk slab extension
-    if (KH - 1) * W + KW - 1 > _CHUNK - 2:
+    if max(offsets) > _CHUNK - 2:
         return False
     # the kernels only help when the tap GEMMs are MXU-sized
-    if M < 4096 or Ci < 128 or KH * KW < 9:
+    if M < 4096 or Ci < 128 or len(offsets) < 9:
         return False
     return True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def tap_conv_valid(x: jax.Array, w: jax.Array, interpret: bool = False):
-    """Stride-1 VALID conv (B, H, W, Ci) * (KH, KW, Ci, Co), channels-last.
+    """Stride-1 VALID conv (B, *spatial, Ci) * (*k, Ci, Co), channels-last,
+    any spatial rank (the flat-canvas tap identity is rank-agnostic).
 
     Pallas tap-GEMM kernels on TPU (exact; see module docstring), literal
     lax conv elsewhere.  Gradients are defined for x and w.
@@ -446,20 +494,29 @@ def _tap_bwd(interpret, res, g):
         dw = _dw_impl(x, g, w.shape, interpret=interpret)
         return dx, dw.astype(w.dtype)
     # XLA fallback: dgrad as a flipped full conv; wgrad as a conv over
-    # the batch dim (the standard transposes).
-    KH, KW, Ci, Co = w.shape
-    wf = jnp.flip(w.astype(x.dtype), axis=(0, 1)).swapaxes(2, 3)
-    dx = conv_nd(g, wf, 1, [(KH - 1, KH - 1), (KW - 1, KW - 1)])
+    # the batch dim (the standard transposes), any spatial rank.
+    n = x.ndim - 2
+    kd = w.shape[:n]
+    spatial = tuple(range(n))
+    wf = jnp.flip(w.astype(x.dtype), axis=spatial).swapaxes(n, n + 1)
+    dx = conv_nd(g, wf, 1, [(k - 1, k - 1) for k in kd])
+    perm_x = (x.ndim - 1,) + tuple(range(1, x.ndim - 1)) + (0,)
+    perm_g = tuple(range(1, x.ndim - 1)) + (0, x.ndim - 1)
+    chars = "".join(chr(ord("0") + i) for i in range(n))
+    dn = lax.conv_dimension_numbers(
+        (1,) * x.ndim, (1,) * x.ndim,
+        ("N" + chars + "C", chars + "IO", "N" + chars + "C"),
+    )
     dw = lax.conv_general_dilated(
-        x.transpose(3, 1, 2, 0),
-        g.transpose(1, 2, 0, 3),
-        window_strides=(1, 1),
+        x.transpose(perm_x),
+        g.transpose(perm_g),
+        window_strides=(1,) * n,
         padding="VALID",
-        dimension_numbers=lax.conv_dimension_numbers(
-            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
-        ),
+        dimension_numbers=dn,
         preferred_element_type=jnp.float32,
-    ).transpose(1, 2, 0, 3)
+    )
+    # output (Ci, *kd, Co) -> (*kd, Ci, Co)
+    dw = dw.transpose(tuple(range(1, n + 1)) + (0, n + 1))
     return dx, dw.astype(w.dtype)
 
 

@@ -126,26 +126,48 @@ DRIVER = textwrap.dedent(
 def _run_two_processes(tmp_path, model_kind: str, timeout: int):
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
-
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     )
     env["JAX_PLATFORMS"] = "cpu"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(driver), str(pid), port, model_kind],
-            cwd=repo, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=timeout) for p in procs]
+
+    def attempt():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(driver), str(pid), port, model_kind],
+                cwd=repo, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in range(2)
+        ]
+        return procs, [p.communicate(timeout=timeout) for p in procs]
+
+    # Cold compiles SERIALIZE on this 1-core host, skewing the two
+    # processes by minutes; gloo's ~30 s rendezvous/op timeouts and the
+    # distributed-shutdown barrier then fire — an infrastructure
+    # limitation of the test host, not a code failure (real multi-host
+    # deployments compile concurrently).  Each failed attempt still
+    # WRITES the persistent compile cache for every stage it reached
+    # (model init -> first collective -> train step), so successive
+    # attempts get monotonically further; three attempts bound the
+    # worst cold-cache case (init, step, done).
+    flaky = (
+        "Gloo context initialization failed",
+        "Connect timeout",
+        "barrier too early",
+    )
+    for _ in range(3):
+        procs, outs = attempt()
+        if all(p.returncode == 0 for p in procs):
+            break
+        if not any(any(f in err for f in flaky) for _, err in outs):
+            break
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-3000:]
         assert "MULTIHOST_OK" in out

@@ -126,3 +126,59 @@ def test_tpu_primary_caps_shape_bf16():
     np.testing.assert_allclose(
         np.asarray(gw, np.float32), np.asarray(gw_r), atol=60.0, rtol=0.1
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_3d_values_and_gradients(dtype):
+    """The flat-canvas identity is rank-agnostic: 3-D VALID conv (the
+    decoder convs' shape family) through the same kernels."""
+    B, T, H, W, Ci, Co = 1, 4, 8, 9, 8, 8
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, Ci)) * 0.2, dtype)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, Ci, Co)) * 0.1, dtype)
+
+    got = tap_conv_valid(x, w, True)
+    want = conv_nd(x.astype(jnp.float32), w.astype(jnp.float32), 1, "VALID")
+    atol = 1e-5 if dtype == jnp.float32 else 0.05
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=atol
+    )
+
+    def loss_pallas(x, w):
+        return jnp.sum(tap_conv_valid(x, w, True).astype(jnp.float32) ** 2)
+
+    def loss_ref(x, w):
+        return jnp.sum(conv_nd(x, w, 1, "VALID").astype(jnp.float32) ** 2)
+
+    gx, gw = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(
+        x.astype(jnp.float32), w.astype(jnp.float32)
+    )
+    atol_x, atol_w = (1e-4, 1e-3) if dtype == jnp.float32 else (0.3, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(gx, np.float32), np.asarray(gx_r), atol=atol_x
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw, np.float32), np.asarray(gw_r), atol=atol_w, rtol=0.05
+    )
+
+
+def test_same_padding_composes():
+    """SAME conv = pad + tap_conv_valid; gradients crop automatically
+    through jnp.pad's VJP (how the decoder 3x3x3 convs would use it)."""
+    B, T, H, W, C = 1, 3, 6, 6, 8
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, C, C)) * 0.1, jnp.float32)
+
+    def same_tap(x, w):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        return tap_conv_valid(xp, w, True)
+
+    got = same_tap(x, w)
+    want = conv_nd(x, w, 1, "SAME")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    gx, = jax.grad(lambda x: jnp.sum(same_tap(x, w) ** 2), argnums=(0,))(x)
+    gx_r, = jax.grad(lambda x: jnp.sum(conv_nd(x, w, 1, "SAME") ** 2),
+                     argnums=(0,))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-4)
