@@ -29,10 +29,22 @@ DRIVER = textwrap.dedent(
     jax.config.update('jax_platforms', 'cpu')
     pid = int(sys.argv[1]); port = sys.argv[2]
     jax.distributed.initialize(
-        coordinator_address=f'127.0.0.1:{port}', num_processes=2, process_id=pid
+        coordinator_address=f'127.0.0.1:{port}', num_processes=2, process_id=pid,
+        # the two workers share ONE core: model build/compile/execution
+        # serialize, so the default 300 s shutdown barrier can fire while
+        # the trailing worker is still stepping
+        shutdown_timeout_seconds=1800,
     )
     assert jax.process_count() == 2
     assert len(jax.devices()) == 4  # 2 procs x 2 local CPU devices
+
+    # Establish the gloo context NOW, while inter-process skew is just
+    # the (serialized) import time: gloo's context rendezvous has a hard
+    # ~30 s KV-store timeout, but once the context exists the data-plane
+    # pairs wait without limit — later minutes-long compile/execution
+    # skew between the workers is then harmless.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('gloo-bringup')
 
     import flax.linen as nn
     import jax.numpy as jnp
