@@ -83,6 +83,8 @@ _CHUNK = 512  # bf16 rows per in-body GEMM chunk (256 i32 words)
 import os
 
 _ENABLED = os.environ.get("PICAD_TAPCONV", "0") == "1"
+# chunk-size override for on-hardware tuning (tools/ab_tapconv.py)
+_CHUNK = int(os.environ.get("PICAD_TAPCONV_CHUNK", _CHUNK))
 
 
 def _dot_precision(dtype):

@@ -1,0 +1,104 @@
+"""In-context A/B of the tap-GEMM PrimaryCaps kernels (ops/tapconv.py).
+
+Times the FULL jitted train step at the bench configuration with the
+Pallas tap-conv dispatch off vs on (and optionally across chunk sizes),
+plus the three kernels standalone vs XLA's standalone conv directions.
+This is the measurement that decides whether PICAD_TAPCONV=1 becomes
+the default — standalone numbers are NOT sufficient (XLA's in-context
+conv fusions run far below its standalone emitters; see README
+Performance notes).
+
+Usage (on a TPU-attached host):
+    python tools/ab_tapconv.py              # off vs on at _CHUNK
+    python tools/ab_tapconv.py 512 1280     # also sweep chunk sizes
+
+One process, sequential measurements (two device processes serialize
+through the tunneled attachment).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def step_time(enabled: bool, chunk: int | None = None, steps: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    import picad_tpu.ops.tapconv as tc
+
+    tc._ENABLED = enabled
+    if chunk is not None:
+        tc._CHUNK = chunk
+
+    from picad_tpu.config import LossConfig
+    from picad_tpu.models.capsules import CapsNet
+    from picad_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, replicated_sharding,
+    )
+    from picad_tpu.train.optimizer import make_optimizer
+    from picad_tpu.train.state import create_train_state
+    from picad_tpu.train.step import make_train_step
+
+    BS, H = 8, 224
+    mesh = create_mesh()
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+    model = CapsNet(num_classes=24, compute_dtype=jnp.bfloat16, bn_groups=2)
+    opt = make_optimizer(1e-4)
+    state = create_train_state(
+        model, opt, rng=jax.random.PRNGKey(47),
+        sample_input_shape=(1, 8, H, H, 3),
+    )
+    state = jax.device_put(state, repl)
+    step = jax.jit(
+        make_train_step(model, opt, LossConfig(bv=True, n_frames=5,
+                                               wt_cons=0.1, thresh_epoch=11),
+                        fold_flip=True),
+        in_shardings=(repl, shard, None, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    rng = np.random.default_rng(47)
+    batch = jax.device_put({
+        "data": rng.integers(0, 256, (BS, 8, H, H, 3), dtype=np.uint8),
+        "loc_msk": (rng.random((BS, 8, H, H, 1)) > 0.7).astype(np.uint8),
+        "action": rng.integers(0, 24, (BS,)).astype(np.int32),
+        "label_vid": (np.arange(BS) % 2).astype(np.int32),
+        "row_mask": np.ones((BS,), np.float32),
+    }, shard)
+    epoch = jnp.asarray(12.0, jnp.float32)
+    ramp = jnp.asarray(0.5, jnp.float32)
+    for _ in range(3):
+        state, metrics = step(state, batch, epoch, ramp)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(steps):
+        state, metrics = step(state, batch, epoch, ramp)
+        losses.append(metrics["loss"])
+    losses = [float(v) for v in losses]  # value-fetch completion
+    dt = (time.perf_counter() - t0) / steps
+    assert all(np.isfinite(losses)), losses
+    return dt
+
+
+def main():
+    chunks = [int(a) for a in sys.argv[1:]] or [None]
+    t_off = step_time(False)
+    print(f"tapconv OFF : {t_off * 1e3:8.2f} ms/step "
+          f"({8 / t_off:.1f} clips/s)", flush=True)
+    for c in chunks:
+        t_on = step_time(True, c)
+        tag = f"chunk {c}" if c else "default chunk"
+        print(f"tapconv ON ({tag}): {t_on * 1e3:8.2f} ms/step "
+              f"({8 / t_on:.1f} clips/s)  "
+              f"{'WIN' if t_on < t_off else 'LOSS'} "
+              f"{(t_off - t_on) * 1e3:+.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
