@@ -356,6 +356,13 @@ class CapsNet(nn.Module):
             fan_in = cin * kernel**nd
             kw = self.param(f"{name}_kernel", _torch_conv_uniform(fan_in), kshape)
             kb = self.param(f"{name}_bias", _torch_conv_uniform(fan_in), (cout,))
+            if nd == 3 and kernel == 3:
+                # conv56/conv112: 64-channel outputs idle half the MXU;
+                # width packing (ops/wpack.py, PICAD_WPACK=1) runs them
+                # at full lanes, exactly.  Off (default) = direct conv.
+                from picad_tpu.ops.wpack import decoder_conv3d
+
+                return decoder_conv3d(x.astype(dt), kw.astype(dt)) + kb
             y = conv_nd(x.astype(dt), kw.astype(dt), 1, kernel // 2)
             return y + kb
 

@@ -24,13 +24,16 @@ import time
 import numpy as np
 
 
-def step_time(enabled: bool, chunk: int | None = None, steps: int = 20) -> float:
+def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
+              wpack: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
     import picad_tpu.ops.tapconv as tc
+    import picad_tpu.ops.wpack as wp
 
     tc._ENABLED = enabled
+    wp._ENABLED = wpack
     if chunk is not None:
         tc._CHUNK = chunk
 
@@ -87,7 +90,9 @@ def step_time(enabled: bool, chunk: int | None = None, steps: int = 20) -> float
 
 
 def main():
-    chunks = [int(a) for a in sys.argv[1:]] or [None]
+    args = sys.argv[1:]
+    do_wpack = "--wpack" in args
+    chunks = [int(a) for a in args if a != "--wpack"] or [None]
     t_off = step_time(False)
     print(f"tapconv OFF : {t_off * 1e3:8.2f} ms/step "
           f"({8 / t_off:.1f} clips/s)", flush=True)
@@ -98,6 +103,11 @@ def main():
               f"({8 / t_on:.1f} clips/s)  "
               f"{'WIN' if t_on < t_off else 'LOSS'} "
               f"{(t_off - t_on) * 1e3:+.2f} ms", flush=True)
+    if do_wpack:
+        t_wp = step_time(False, wpack=True)
+        print(f"wpack ON (decoder convs): {t_wp * 1e3:8.2f} ms/step  "
+              f"{'WIN' if t_wp < t_off else 'LOSS'} "
+              f"{(t_off - t_wp) * 1e3:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
