@@ -67,7 +67,38 @@ def _peak_flops(device) -> float:
     return 0.0
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Fail fast (rc=3) if backend init hangs — a dead tunnel otherwise
+    blocks jax.devices() indefinitely (observed: the axon relay process
+    can exit mid-session, leaving nothing listening on its ports)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench: backend init did not complete within {timeout_s:.0f}s "
+            "(TPU attachment down?)",
+            file=__import__("sys").stderr,
+        )
+        raise SystemExit(3)
+    if "error" in result:
+        print(f"bench: backend init failed: {result['error']}",
+              file=__import__("sys").stderr)
+        raise SystemExit(3)
+
+
 def main():
+    _require_device()
     from picad_tpu.config import LossConfig
     from picad_tpu.data.dataset import ClipDataset
     from picad_tpu.data.device_cache import DeviceClipDataset, DeviceVideoCache
