@@ -85,6 +85,9 @@ import os
 _ENABLED = os.environ.get("PICAD_TAPCONV", "0") == "1"
 # chunk-size override for on-hardware tuning (tools/ab_tapconv.py)
 _CHUNK = int(os.environ.get("PICAD_TAPCONV_CHUNK", _CHUNK))
+# weight-grad kernel variant: "v1" (degenerate-layout, known to compile)
+# or "dense" (dynamic tiled-dim slices; Mosaic acceptance untested)
+_DW_VARIANT = os.environ.get("PICAD_TAPCONV_DW", "v1")
 
 
 def _dot_precision(dtype):
@@ -267,6 +270,42 @@ def _dw_kernel(nchunks, kdims, strides, cm, dtype, x_ref, g_ref, dw_ref):
     dw_ref[0] = acc
 
 
+def _dw_kernel_dense(nchunks, kdims, strides, cm, dtype, x_ref, g_ref,
+                     dw_ref):
+    """dW via DENSE resident arrays + dynamic word slices.
+
+    Same math as _dw_kernel, but x/g cross as normally-tiled
+    (pairs, words, C) blocks and the per-tap slabs are dynamic
+    second-minor slices of the resident VMEM refs.  Whether Mosaic
+    accepts dynamic unaligned slices on a tiled dim (it provably does
+    on UNTILED dims, which is what the degenerate-layout v1 exploits)
+    is a hardware question — selected via PICAD_TAPCONV_DW=dense for
+    the A/B; the v1 degenerate-layout kernel stays the default.
+    """
+    t = pl.program_id(0)
+    _, pair, word = _tap_off(t, kdims, strides)
+    acc = None
+    for c in range(nchunks):
+        if dtype.itemsize == 4:
+            xs = x_ref[0, pl.ds(c * cm + word * 2 + pair, cm), :]
+            gs = g_ref[0, c * cm:(c + 1) * cm, :]
+        else:
+            xs = pltpu.bitcast(
+                x_ref[pair, pl.ds(c * (cm // 2) + word, cm // 2), :], dtype
+            )
+            gs = pltpu.bitcast(
+                g_ref[0, c * (cm // 2):(c + 1) * (cm // 2), :], dtype
+            )
+        p = jax.lax.dot_general(
+            xs, gs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(dtype),
+        )
+        acc = p if acc is None else acc + p
+    dw_ref[0] = acc
+
+
 def _vmem_params():
     return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
@@ -408,19 +447,29 @@ def _dw_impl(x, g, kshape, *, interpret=False):
     Mp = xf.shape[0]
     nchunks = Mp // cm
     tmax = max(offsets)
-    xp, _ = _pack_rows(xf, 0, tmax + 2 + (tmax & 1), forward=True)
-    gp, _ = _pack_rows(gf, 0, 2, forward=True)
     ntaps = len(offsets)
-    dw = pl.pallas_call(
-        functools.partial(
+    if _DW_VARIANT == "dense":
+        pad = tmax + 2 + (tmax & 1)
+        xp = _pack2(jnp.pad(xf, ((0, pad + (pad & 1)), (0, 0))), forward=True)
+        gp = _pack2(jnp.pad(gf, ((0, 2), (0, 0))), forward=True)
+        kern = functools.partial(
+            _dw_kernel_dense, nchunks, kd, strides, cm, jnp.dtype(dtype)
+        )
+        specs3 = True
+    else:
+        xp, _ = _pack_rows(xf, 0, tmax + 2 + (tmax & 1), forward=True)
+        gp, _ = _pack_rows(gf, 0, 2, forward=True)
+        kern = functools.partial(
             _dw_kernel, nchunks, kd, strides, cm, jnp.dtype(dtype)
-        ),
+        )
+        specs3 = False
+    idx3 = (lambda t: (0, 0, 0)) if specs3 else (lambda t: (0, 0, 0, 0))
+    dw = pl.pallas_call(
+        kern,
         grid=(ntaps,),
         in_specs=[
-            pl.BlockSpec(xp.shape, lambda t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(gp.shape, lambda t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(xp.shape, idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gp.shape, idx3, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Ci, Co), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),

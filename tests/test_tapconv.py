@@ -182,3 +182,24 @@ def test_same_padding_composes():
     gx_r, = jax.grad(lambda x: jnp.sum(conv_nd(x, w, 1, "SAME") ** 2),
                      argnums=(0,))(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_dw_dense_variant_matches(dtype, monkeypatch):
+    """The PICAD_TAPCONV_DW=dense weight-grad kernel (dynamic tiled-dim
+    slices) computes the same dW as the default degenerate-layout one."""
+    import picad_tpu.ops.tapconv as tc
+    from picad_tpu.ops.tapconv import _dw_impl
+
+    B, H, W, Ci, Co, KH, KW = 2, 10, 9, 8, 16, 3, 3
+    x, w = _mk(B, H, W, Ci, Co, KH, KW, dtype, seed=9)
+    rng = np.random.default_rng(10)
+    g = jnp.asarray(
+        rng.standard_normal((B, H - KH + 1, W - KW + 1, Co)) * 0.3, dtype
+    )
+    dw_v1 = _dw_impl(x, g, w.shape, interpret=True)
+    monkeypatch.setattr(tc, "_DW_VARIANT", "dense")
+    dw_dense = _dw_impl(x, g, w.shape, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dw_v1), np.asarray(dw_dense), atol=1e-5
+    )
