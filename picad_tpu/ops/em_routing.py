@@ -29,11 +29,19 @@ across iterations.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 _LN_2PI = math.log(2.0 * math.pi)
+
+# PICAD_EM_REMAT=1 wraps the routing loop in jax.checkpoint: the
+# backward then recomputes the unrolled EM chain from the vote tensor
+# instead of loading each iteration's saved intermediates from HBM —
+# a bandwidth/FLOPs trade whose winner is decided by the hardware A/B
+# (tools/ab_tapconv.py --em-remat).  Semantically the identity.
+_REMAT = os.environ.get("PICAD_EM_REMAT", "0") == "1"
 
 
 def _m_step(a_in, r, v, beta_u, beta_a, eps, lam):
@@ -131,10 +139,18 @@ def em_routing(
     """
     b, Bi, C, psize = v.shape
     assert a_in.shape == (b, Bi, 1), (a_in.shape, v.shape)
-    r = jnp.full((b, Bi, C), 1.0 / C, dtype=v.dtype)
-    a_out = mu = None
-    for it in range(iters):
-        a_out, mu, sigma_sq = _m_step(a_in, r, v, beta_u, beta_a, eps, lam)
-        if it < iters - 1:
-            r = _e_step(mu, sigma_sq, a_out, v, eps)
-    return mu, a_out
+
+    def loop(v, a_in, beta_u, beta_a):
+        r = jnp.full((b, Bi, C), 1.0 / C, dtype=v.dtype)
+        a_out = mu = None
+        for it in range(iters):
+            a_out, mu, sigma_sq = _m_step(
+                a_in, r, v, beta_u, beta_a, eps, lam
+            )
+            if it < iters - 1:
+                r = _e_step(mu, sigma_sq, a_out, v, eps)
+        return mu, a_out
+
+    if _REMAT:
+        loop = jax.checkpoint(loop)
+    return loop(v, a_in, beta_u, beta_a)

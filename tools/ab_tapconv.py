@@ -11,6 +11,8 @@ Performance notes).
 Usage (on a TPU-attached host):
     python tools/ab_tapconv.py              # off vs on at _CHUNK
     python tools/ab_tapconv.py 512 1280     # also sweep chunk sizes
+    python tools/ab_tapconv.py --wpack      # + width-packed decoder convs
+    python tools/ab_tapconv.py --em-remat   # + checkpointed EM routing
 
 One process, sequential measurements (two device processes serialize
 through the tunneled attachment).
@@ -18,22 +20,27 @@ through the tunneled attachment).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
-              wpack: bool = False) -> float:
+              wpack: bool = False, em_remat: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
+    import picad_tpu.ops.em_routing as em
     import picad_tpu.ops.tapconv as tc
     import picad_tpu.ops.wpack as wp
 
     tc._ENABLED = enabled
     wp._ENABLED = wpack
+    em._REMAT = em_remat
     if chunk is not None:
         tc._CHUNK = chunk
 
@@ -92,7 +99,8 @@ def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
 def main():
     args = sys.argv[1:]
     do_wpack = "--wpack" in args
-    chunks = [int(a) for a in args if a != "--wpack"] or [None]
+    do_em_remat = "--em-remat" in args
+    chunks = [int(a) for a in args if not a.startswith("--")] or [None]
     t_off = step_time(False)
     print(f"tapconv OFF : {t_off * 1e3:8.2f} ms/step "
           f"({8 / t_off:.1f} clips/s)", flush=True)
@@ -108,6 +116,11 @@ def main():
         print(f"wpack ON (decoder convs): {t_wp * 1e3:8.2f} ms/step  "
               f"{'WIN' if t_wp < t_off else 'LOSS'} "
               f"{(t_off - t_wp) * 1e3:+.2f} ms", flush=True)
+    if do_em_remat:
+        t_em = step_time(False, em_remat=True)
+        print(f"EM remat ON (checkpointed routing): {t_em * 1e3:8.2f} "
+              f"ms/step  {'WIN' if t_em < t_off else 'LOSS'} "
+              f"{(t_off - t_em) * 1e3:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
