@@ -40,6 +40,7 @@ no full-resolution 128-channel intermediate, in forward AND backward.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import string
 
@@ -49,6 +50,25 @@ import jax.numpy as jnp
 # per-axis scatter: out[2i - 2 + tau] += z[i, tau]; split by output parity
 # phi = tau mod 2 -> (tap, input shift) pairs per phase
 _PHASE_TAPS = {0: [(0, 1), (2, 0), (4, -1)], 1: [(1, 1), (3, 0)]}
+
+# Trace-time kill switch for the Pallas path.  The dispatch below keys on
+# jax.default_backend(), which reflects the HOST the trace runs on — a
+# serving export (picad_tpu.serve) traced on a TPU host would otherwise
+# bake a Mosaic custom-call into an artifact that must stay portable
+# across compiler versions and platforms.
+_PALLAS_OK = True
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Force the pure-XLA chain for traces inside this context (the two
+    are oracle-tested equal; the kernel is a perf fast path only)."""
+    global _PALLAS_OK
+    prev, _PALLAS_OK = _PALLAS_OK, False
+    try:
+        yield
+    finally:
+        _PALLAS_OK = prev
 
 
 def compose_transpose_kernels(k1: jax.Array, k2: jax.Array) -> jax.Array:
@@ -100,6 +120,7 @@ def _raw_fused(x, k1, k2, drop_scale):
     dt = x.dtype
     if (
         d == 3
+        and _PALLAS_OK
         and jax.default_backend() == "tpu"
         and jnp.dtype(dt).itemsize == 2  # PRODUCTION dtype only: the f32
         # model path stays on the XLA chain, which is the golden-parity
