@@ -38,6 +38,12 @@ def main(argv=None):
         help="mean over present classes only (reference np.mean propagates "
         "NaN when a class has no test videos, evaluate_jhmdb.py:180-183)",
     )
+    p.add_argument(
+        "--eval_dp", type=int, default=0,
+        help="shard clip batches over N devices (0/1 = single device; "
+        "clip_batch_size must divide by N; eval mode has no cross-sample "
+        "reductions, so results are identical at any N)",
+    )
     args = p.parse_args(argv)
 
     model = CapsNet(num_classes=21)
@@ -64,6 +70,7 @@ def main(argv=None):
         prune=not args.no_prune,
         log_predictions=args.log_predictions,
         nan_safe=args.nan_safe,
+        eval_devices=args.eval_dp,
     )
 
 

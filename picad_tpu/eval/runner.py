@@ -25,7 +25,7 @@ import numpy as np
 from picad_tpu.eval.engine import evaluate_dataset
 
 
-def make_eval_fn(model):
+def make_eval_fn(model, mesh=None):
     """The jitted eval forward, built ONCE per model.
 
     Params/stats are arguments, so a checkpoint sweep swaps weights
@@ -36,9 +36,16 @@ def make_eval_fn(model):
     Matches the reference eval call signature: dummy action 500, eval-mode
     class masking by predicted argmax (evaluate_ucf101.py:123-128),
     sigmoid applied to seg logits.
+
+    With `mesh` (a 1-D data mesh, parallel/mesh.create_mesh) the clip
+    batch is sharded over the devices and params/stats replicated — eval
+    mode has no cross-sample reduction (BN runs on running stats,
+    dropout off), so the sharded forward is exactly the single-device
+    one, N clips at a time.  The reference protocol is single-GPU
+    (evaluate_ucf101.py); this is the scale-out the sweep needs on a
+    pod slice.
     """
 
-    @jax.jit
     def fwd(params, batch_stats, clips):
         b = clips.shape[0]
         dummy = jnp.full((b,), 500, jnp.int32)
@@ -53,20 +60,59 @@ def make_eval_fn(model):
         )
         return jax.nn.sigmoid(seg), scores
 
-    return fwd
+    if mesh is None:
+        return jax.jit(fwd)
+
+    from picad_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    shard = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        fwd,
+        in_shardings=(repl, repl, shard),
+        out_shardings=(shard, shard),
+    )
+
+
+def _mesh_or_none(eval_devices: int):
+    """Build the eval data mesh for --eval_dp N (0/1 = single device)."""
+    if eval_devices in (0, 1):
+        return None
+    from picad_tpu.parallel.mesh import create_mesh
+
+    n = len(jax.devices())
+    if eval_devices > n:
+        raise ValueError(
+            f"--eval_dp {eval_devices} > {n} visible devices"
+        )
+    return create_mesh(eval_devices)
 
 
 def make_padded_forward(
     model, variables, *, clip_batch_size: int = 14, eval_fn=None,
+    mesh=None,
 ) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
     """Bind weights to the (shared) jitted eval forward; pad ragged clip
     batches to the compiled shape and drop the padding rows on the host.
 
     Pass `eval_fn=make_eval_fn(model)` when calling repeatedly (e.g. the
     checkpoint sweep) so every binding reuses one traced program."""
-    fwd = eval_fn if eval_fn is not None else make_eval_fn(model)
+    fwd = eval_fn if eval_fn is not None else make_eval_fn(model, mesh)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    if mesh is not None:
+        if clip_batch_size % mesh.size != 0:
+            raise ValueError(
+                f"clip_batch_size {clip_batch_size} must divide evenly "
+                f"over the {mesh.size}-device eval mesh"
+            )
+        from picad_tpu.parallel.mesh import replicated_sharding
+
+        # replicate the weights ONCE per binding — host numpy params
+        # would otherwise re-transfer on every padded batch
+        repl = replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        stats = jax.device_put(stats, repl)
 
     def forward(clips: np.ndarray):
         n = clips.shape[0]
@@ -93,6 +139,7 @@ def sweep_checkpoints(
     prune: bool = True,
     log_predictions: bool = False,
     nan_safe: bool = False,
+    eval_devices: int = 0,
 ) -> dict:
     """Evaluate every matching checkpoint; prune to the two best.
 
@@ -112,12 +159,14 @@ def sweep_checkpoints(
         return {}
     results = {}
     fmap_best, vmap_best, names = [], [], []
-    eval_fn = make_eval_fn(model)  # trace/compile once for the whole sweep
+    mesh = _mesh_or_none(eval_devices)
+    eval_fn = make_eval_fn(model, mesh)  # trace/compile once for the sweep
     for path in paths:
         state = io.restore(path, template_state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         forward = make_padded_forward(
-            model, variables, clip_batch_size=clip_batch_size, eval_fn=eval_fn
+            model, variables, clip_batch_size=clip_batch_size,
+            eval_fn=eval_fn, mesh=mesh,
         )
         pred_log = [] if log_predictions else None
         summary = evaluate_dataset(
