@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--num_classes", type=int, default=24)
     p.add_argument("--platforms", type=str, default="tpu",
                    help="comma list, e.g. tpu,cpu")
+    p.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=("f32", "bf16"),
+                   help="artifact compute dtype: bf16 halves serving HBM "
+                   "traffic and doubles MXU rate (weights stay f32 "
+                   "constants; matmul/conv inputs cast, f32 accumulation "
+                   "— the training path's production precision)")
     p.add_argument("--seed", type=int, default=47)
     p.add_argument("--verify", action="store_true",
                    help="reload the artifact and compare one random "
@@ -43,9 +49,16 @@ def main(argv=None):
 
     from picad_tpu.checkpoint.manager import CheckpointIO
 
-    model = CapsNet(num_classes=args.num_classes)
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
+    model = CapsNet(num_classes=args.num_classes, compute_dtype=dt)
+    # the param pytree is dtype-independent: restore against an f32
+    # template (checkpoints are stored f32)
     template = create_train_state(
-        model, make_optimizer(), rng=jax.random.PRNGKey(args.seed)
+        CapsNet(num_classes=args.num_classes),
+        make_optimizer(),
+        rng=jax.random.PRNGKey(args.seed),
     )
     state = CheckpointIO().restore(args.ckpt, template)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -60,12 +73,16 @@ def main(argv=None):
         width=args.hw,
         platforms=platforms,
         num_classes=args.num_classes,
-        extra_meta={"source_checkpoint": args.ckpt},
+        extra_meta={
+            "source_checkpoint": args.ckpt,
+            "compute_dtype": args.compute_dtype,
+        },
     )
     print(f"Exported {args.ckpt} -> {out} (platforms={platforms})")
 
     if args.verify:
         from picad_tpu.eval.runner import make_padded_forward
+        from picad_tpu.ops.fused_head import pallas_disabled
 
         serving = load_artifact(out)
         rng = np.random.default_rng(0)
@@ -73,10 +90,15 @@ def main(argv=None):
             (3, 8, args.hw, args.hw, 3), dtype=np.float32
         )
         seg_a, sc_a = serving.predict_clips(clips)
-        live = make_padded_forward(
-            model, variables, clip_batch_size=args.clip_batch_size
-        )
-        seg_b, sc_b = live(clips)
+        # trace the live forward through the same pure-XLA chain the
+        # artifact was traced through (at bf16 on a TPU host the live
+        # path would otherwise dispatch the Pallas head — numerically
+        # close but not identical)
+        with pallas_disabled():
+            live = make_padded_forward(
+                model, variables, clip_batch_size=args.clip_batch_size
+            )
+            seg_b, sc_b = live(clips)
         np.testing.assert_allclose(seg_a, seg_b, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
         print("Verified: artifact matches the live eval forward.")
