@@ -141,6 +141,36 @@ def test_predict_video_stitches_frames_back(tmp_path):
     assert res["pred_label"] == int(np.argmax(res["scores"]))
 
 
+def test_artifact_drives_eval_protocol(tmp_path):
+    """ServingModel.predict_clips satisfies the eval engine's forward_fn
+    contract (eval/engine.py:95-115) — the full offline f-mAP/v-mAP
+    protocol must run against an artifact and produce the same summary
+    as the live padded forward."""
+    from picad_tpu.eval.engine import evaluate_dataset
+    from picad_tpu.eval.runner import make_padded_forward
+
+    model, variables, out = _make_artifact(tmp_path)
+    serving = load_artifact(out)
+
+    rng = np.random.default_rng(11)
+    dataset = []
+    for i in range(3):
+        f = 20 + 7 * i
+        video = rng.random((f, 16, 16, 3)).astype(np.float32)
+        mask = (rng.random((f, 16, 16, 1)) > 0.4).astype(np.float32)
+        dataset.append((video, mask, i % 24))
+
+    kw = dict(n_classes=24, clip_batch_size=4, nan_safe=True)
+    summary_art = evaluate_dataset(serving.predict_clips, dataset, **kw)
+    live = make_padded_forward(model, variables, clip_batch_size=4)
+    summary_live = evaluate_dataset(live, dataset, **kw)
+    for k, v in summary_live.items():
+        np.testing.assert_allclose(
+            summary_art[k], v, rtol=1e-6, atol=1e-8, err_msg=k
+        )
+    assert 0.0 <= summary_art["vmAP@0.5"] <= 1.0
+
+
 def test_multiplatform_export_executes_locally(tmp_path):
     """A (tpu, cpu) artifact must be creatable from any host (lowering
     is platform-parameterized) and executable on whichever platform is
