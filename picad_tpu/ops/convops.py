@@ -25,11 +25,9 @@ Semantics matched to the reference (cited file:line are in /root/reference):
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 

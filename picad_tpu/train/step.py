@@ -36,19 +36,12 @@ epochs; the pseudo-label epoch gate is a `jnp.where` inside the model.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from picad_tpu.config import LossConfig
-from picad_tpu.objectives.losses import (
-    bce_with_logits,
-    spread_loss,
-    weighted_mse_outer,
-)
+from picad_tpu.objectives.losses import weighted_mse_outer
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
 
 

@@ -1,7 +1,6 @@
 """torch->flax converter coverage + retention policy behavior."""
 
 import numpy as np
-import pytest
 
 from picad_tpu.checkpoint.torch_convert import (
     convert_capsnet_state_dict,

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from picad_tpu.data.dataset import ClipDataset, EvalVideoDataset
-from picad_tpu.data.loader import SemiSupervisedBatcher, collate
+from picad_tpu.data.loader import SemiSupervisedBatcher
 from picad_tpu.data.sources import (
     SyntheticVideoSource,
     rasterize_boxes,

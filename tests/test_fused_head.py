@@ -6,11 +6,7 @@ import numpy as np
 import pytest
 
 from picad_tpu.ops.convops import conv_transpose_nd
-from picad_tpu.ops.fused_head import (
-    compose_transpose_kernels,
-    fused_decoder_head,
-    smooth_bias_map,
-)
+from picad_tpu.ops.fused_head import fused_decoder_head, smooth_bias_map
 
 RNG = np.random.default_rng(7)
 

@@ -1,7 +1,6 @@
 """Decode-cache paths: in-memory LRU and the pre-decoded .npy cache."""
 
 import numpy as np
-import pytest
 
 from picad_tpu.data.sources import (
     CachedVideoSource,

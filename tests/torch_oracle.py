@@ -16,7 +16,6 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-from tests.sd_fixtures import MIXED_SPECS
 from tests.test_em_routing import oracle as em_oracle
 
 

@@ -23,9 +23,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
 def bench_batcher(batcher, *, epochs=(1, 2), label=""):
     from itertools import islice
 
