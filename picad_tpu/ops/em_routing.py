@@ -39,8 +39,10 @@ _LN_2PI = math.log(2.0 * math.pi)
 # PICAD_EM_REMAT=1 wraps the routing loop in jax.checkpoint: the
 # backward then recomputes the unrolled EM chain from the vote tensor
 # instead of loading each iteration's saved intermediates from HBM —
-# a bandwidth/FLOPs trade whose winner is decided by the hardware A/B
-# (tools/ab_tapconv.py --em-remat).  Semantically the identity.
+# a bandwidth/FLOPs trade.  MEASURED NEUTRAL on hardware (interleaved
+# 40-step A/Bs, v5e, 2026-08-18: deltas +0.15 / -0.10 ms on a ~76 ms
+# step — within run variance), so the default stays the simpler
+# store-intermediates path.  Semantically the identity either way.
 _REMAT = os.environ.get("PICAD_EM_REMAT", "0") == "1"
 
 

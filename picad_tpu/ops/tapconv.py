@@ -75,11 +75,13 @@ from picad_tpu.ops.convops import conv_nd
 _CHUNK = 512  # bf16 rows per in-body GEMM chunk (256 i32 words)
 
 # Dispatch switch: "1" = use the Pallas kernels on TPU, "0" = always the
-# XLA conv.  Defaults OFF pending an in-context A/B on hardware — the
-# kernels are correctness-validated on TPU (v1) and in interpret mode
-# (v2), but the axon tunnel died before the v2 chunk-grid rewrite could
-# be timed inside the train step, and an unattended bench must not risk
-# a fresh Mosaic rejection.  Flip with PICAD_TAPCONV=1.
+# XLA conv.  Defaults OFF — MEASURED AND REJECTED in-context: the
+# hardware A/B (tools/ab_tapconv.py, v5e, 2026-08-18) timed the full
+# train step at 86.88 ms with the v2 chunk-grid kernels vs 77.64 ms on
+# the XLA conv fusions (-9.2 ms/step).  The v2 rewrite did fix the v1
+# slab-load pathology, but XLA's fused 9x9 conv family is still faster
+# in-context; the kernels stay as a correctness-validated reference for
+# stride-1 VALID tap-GEMM convs.  Flip with PICAD_TAPCONV=1.
 import os
 
 _ENABLED = os.environ.get("PICAD_TAPCONV", "0") == "1"

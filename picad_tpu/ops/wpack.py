@@ -26,9 +26,12 @@ Exactness: every output element is the same sum of the same products
 (plus explicit zero blocks), so values and gradients match the direct
 conv to float reassociation only.
 
-Gated behind PICAD_WPACK=1 pending an in-context A/B on hardware (the
-same protocol as ops/tapconv.py — tools/ab_tapconv.py can be adapted);
-tested for value/gradient parity either way.
+Gated behind PICAD_WPACK=1 — MEASURED AND REJECTED in-context: the
+hardware A/B (tools/ab_tapconv.py --wpack, v5e, 2026-08-18) timed the
+full train step at 83.96 ms width-packed vs 77.64 ms direct
+(-6.3 ms/step).  The pack/unpack reshapes around each conv cost more
+than the half-empty lanes they fill; XLA's own layout choices win.
+Tested for value/gradient parity either way.
 """
 
 from __future__ import annotations
