@@ -43,9 +43,9 @@ import numpy as np
 REFERENCE_CLIPS_PER_SEC = 20.0
 BS = 8
 H = W = 224
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
-E2E_STEPS = 16
+WARMUP_STEPS = 5
+MEASURE_STEPS = 40
+E2E_STEPS = 24
 
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 _PEAK_BF16 = {

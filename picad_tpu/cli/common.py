@@ -77,6 +77,10 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural data backend (hermetic runs)")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--watch", action="store_true",
+                   help="log param-norm histograms + a grad_norm scalar "
+                   "every --pf batches (the reference's wandb.watch, "
+                   "main_jhmdb.py:422)")
     p.add_argument("--resume", type=str, default="",
                    help="path to a full-train-state checkpoint to resume from")
     p.add_argument("--decoded_cache_dir", type=str, default="",

@@ -30,6 +30,7 @@ def main(argv=None):
         unlabeled_dataset=unlabeled,
         val_dataset=val,
         use_wandb=args.wandb,
+        watch=args.watch,
     )
     start_epoch = trainer.restore(args.resume) if args.resume else 1
     trainer.fit(start_epoch)

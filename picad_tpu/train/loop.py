@@ -50,6 +50,7 @@ class Trainer:
         unlabeled_dataset,
         val_dataset=None,
         use_wandb: bool = False,
+        watch: bool = False,
     ):
         self.cfg = cfg
         cfg.validate()  # fail fast before any compilation
@@ -99,12 +100,18 @@ class Trainer:
                 },
                 self.replicated,
             )
+        # --watch: the reference's wandb.watch(model) (main_jhmdb.py:422)
+        # = periodic param/grad magnitude logging.  grad_metrics folds a
+        # global grad-norm reduction into the step; param norms are
+        # histogrammed host-side every pf batches (MetricLogger.watch_params).
+        self._watch = watch
         step_fn = make_train_step(
             self.model, self.optimizer, cfg.loss, fold_flip=cfg.fold_flip,
             device_cache_hw=(
                 (cfg.data.clip_height, cfg.data.clip_width)
                 if cache is not None else None
             ),
+            grad_metrics=watch,
         )
         step_shardings = (self.replicated, self.batch_sharding, None, None)
         if cache is not None:
@@ -254,6 +261,14 @@ class Trainer:
                     ("loss", "loss_seg", "loss_cls", "loss_consistency")
                 }, total_step)
                 self.logger.log("train/acc", {"acc": host["acc"]}, total_step)
+                if self._watch:
+                    self.logger.log(
+                        "train/grad", {"grad_norm": host["grad_norm"]},
+                        total_step,
+                    )
+                    self.logger.watch_params(
+                        jax.device_get(self.state.params), total_step
+                    )
         if trace_open:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {cfg.profile_dir}")

@@ -132,12 +132,19 @@ def make_train_step(
     *,
     fold_flip: bool = False,
     device_cache_hw: tuple[int, int] | None = None,
+    grad_metrics: bool = False,
 ):
     """Build the (unjitted) train step; caller jits with shardings.
 
     With `device_cache_hw=(h, w)` the returned step takes a fifth
     argument `pools` (the DeviceVideoCache frame pools) and expects
-    metadata batches (data/device_cache.py) instead of pixel batches."""
+    metadata batches (data/device_cache.py) instead of pixel batches.
+
+    `grad_metrics` adds a `grad_norm` scalar (global L2 of the raw
+    gradient pytree) to the metrics — the on-device half of the
+    reference's `wandb.watch(model)` gradient hooks (main_jhmdb.py:422).
+    Off by default so the production step's compiled program (and the
+    persistent XLA cache entries keyed on it) is unchanged."""
 
     thresh_epoch = loss_cfg.thresh_epoch
     loc_loss_fn = {"dice": _masked_dice, "iou": _masked_iou}[loss_cfg.loc_loss]
@@ -293,6 +300,8 @@ def make_train_step(
             state.params, state.batch_stats, batch, epoch, wt_ramp, rng1,
             rng2, pools,
         )
+        if grad_metrics:
+            metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
