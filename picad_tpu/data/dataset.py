@@ -108,6 +108,12 @@ class ClipDataset:
             sample["mask_cls"] = np.zeros((d, h, w, 1), dtype=np.float32)
         return sample
 
+    def zero_sample(self) -> dict[str, Any]:
+        """Public degraded-sample constructor — also the cheap shape/dtype
+        template for all-pad lockstep steps (train/loop.py validate): no
+        video decode, unlike fetching a real sample for its shapes."""
+        return self._zero_sample()
+
     def _sample_plan(self, index: int, source_index: int | None = None):
         """The cheap per-sample logic: clip span + crop origin + validity.
 

@@ -3,6 +3,11 @@
 
 All functions are lazy-importing and headless-safe (Agg backend): they
 save to a path when `save` is given, else call plt.show().
+
+Deliberately excluded (dead in the reference — defined but never invoked
+by any driver, eval, or other helper): `oldIOU` (utils/metrics.py:125-145,
+superseded by IOU/IOU2 which eval/metrics.py ports) and `basic_overlay`
+(utils/metrics.py:195-207, subsumed by `overlay`/`overlay2` below).
 """
 
 from __future__ import annotations
