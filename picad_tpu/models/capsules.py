@@ -28,6 +28,7 @@ reconstructed equivalent).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -56,6 +57,20 @@ def _normal(stddev: float):
     return nn.initializers.normal(stddev=stddev)
 
 
+# PrimaryCaps conv formulation, read at TRACE time (tools/ab_primarycaps.py
+# flips it between jit traces): True = two separate pose/act convs — the
+# default and measured winner (full-step A/B on v5e, 2026-08-19: split
+# 71.87 ms vs merged 76.78 ms, −4.9 ms; consistent with the round-3
+# standalone measurement that first found merged +1.5 ms slower — 544
+# output channels pad to five 128-lane tiles vs four for 512, and the
+# second read of x is cheaper than the wasted lane tile).  False = the
+# merged 544-channel conv, kept as the A/B counterfactual.  Same math
+# either way (per-output-channel reductions are independent); exact on
+# the default TPU path, float-reassociation-level deltas under
+# highest-precision f32 (tests/test_convcaps_modes.py).
+_PCAPS_SPLIT = os.environ.get("PICAD_PCAPS_SPLIT", "1") == "1"
+
+
 class PrimaryCaps(nn.Module):
     """Primary capsule layer: pose + sigmoid activation convs (ref :10-49)."""
 
@@ -80,20 +95,24 @@ class PrimaryCaps(nn.Module):
         ba = self.param("a_bias", _torch_conv_uniform(fan_in), (self.caps_types,))
         dt = self.compute_dtype
         xc = x.astype(dt)
-        # ONE merged 544-channel tap-GEMM conv (ops/tapconv.py): on TPU
-        # the 9x9 family runs as 81 flat MXU GEMMs per direction with
-        # the accumulator VMEM-resident — the single biggest win of the
-        # round-3 trace (XLA's conv emitters ran fwd/dx/dW at 8-24%
-        # MFU, ~42 ms of a ~73 ms step).  Off-TPU this is the literal
-        # lax conv.  (An earlier merged-conv attempt under the XLA
-        # emitter measured slower — five lane tiles vs four — but the
-        # tap-GEMM form reads x once for both heads, and its N=544 lane
-        # padding costs less than a second pass.)
-        pa = tap_conv_valid(xc, jnp.concatenate(
-            [wp, wa], axis=-1).astype(dt))
         psz = self.caps_types * psize
-        p = pa[..., :psz] + bp
-        a = jax.nn.sigmoid(pa[..., psz:] + ba)
+        if _PCAPS_SPLIT:
+            # Two separate convs (pose 832->512, act 832->32), the
+            # literal reference structure — the measured DEFAULT (see the
+            # _PCAPS_SPLIT comment above for the A/B record).
+            # tap_conv_valid dispatches the literal XLA conv by default
+            # (the Pallas tap-GEMM kernels lost their hardware A/B,
+            # ops/tapconv.py:76-88).
+            p = tap_conv_valid(xc, wp.astype(dt)) + bp
+            a = jax.nn.sigmoid(tap_conv_valid(xc, wa.astype(dt)) + ba)
+        else:
+            # A/B counterfactual: ONE merged 544-channel conv, x read
+            # once for both heads — measured 4.9 ms SLOWER in-context
+            # (lane-tile padding, see above).
+            pa = tap_conv_valid(xc, jnp.concatenate(
+                [wp, wa], axis=-1).astype(dt))
+            p = pa[..., :psz] + bp
+            a = jax.nn.sigmoid(pa[..., psz:] + ba)
         # (B, 20, 20, caps*psize + caps) — already channel-last like the
         # reference's permute(0, 2, 3, 1) output (:47-49).
         return jnp.concatenate([p, a], axis=-1)

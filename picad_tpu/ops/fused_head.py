@@ -71,6 +71,33 @@ def pallas_disabled():
         _PALLAS_OK = prev
 
 
+def pallas_head_active(sp, channels, dtype) -> bool:
+    """True when `_raw_fused` would dispatch the Pallas composite-ConvT
+    kernel for a (B, *sp, channels) input of `dtype` — the single source
+    of truth for the dispatch gate, shared with bench.py's analytic FLOP
+    crediting (XLA's cost model counts Pallas custom-calls as 0 FLOPs, so
+    the bench may only add the kernel's work when it actually ran)."""
+    return (
+        len(sp) == 3
+        and _PALLAS_OK
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype).itemsize == 2  # PRODUCTION dtype only: the
+        # f32 model path stays on the XLA chain, which is the golden-
+        # parity baseline — the kernel's tap-major accumulation order
+        # shifts f32 losses by ~3e-4 rel through the EM cost_std
+        # amplification (observed at the 96^2 train-parity shape), while
+        # bf16 tolerances absorb it.  The f32 kernel itself stays covered
+        # by the direct tests (tests/test_pallas_fused_head.py).
+        and sp[1] % 16 == 0  # H chunking (CHUNK=16)
+        and sp[1] >= 18  # >= CHUNK + 2 halo rows
+        and sp[2] >= 8  # any lane-dim width; a round-2 Mosaic build
+        # rejected the tap GEMM at W=48, which no longer reproduces —
+        # the width sweep (48/64/80/96/112/128) compiles and matches the
+        # XLA ConvT reference (tests/test_pallas_fused_head.py)
+        and channels % 128 == 0  # full lane tiles for the VMEM slab
+    )
+
+
 def compose_transpose_kernels(k1: jax.Array, k2: jax.Array) -> jax.Array:
     """Kernel-index-sum composition of two ConvT kernels over d axes.
 
@@ -118,25 +145,7 @@ def _raw_fused(x, k1, k2, drop_scale):
         return jnp.einsum("bc,bc->b", x.astype(f32), Kc)
 
     dt = x.dtype
-    if (
-        d == 3
-        and _PALLAS_OK
-        and jax.default_backend() == "tpu"
-        and jnp.dtype(dt).itemsize == 2  # PRODUCTION dtype only: the f32
-        # model path stays on the XLA chain, which is the golden-parity
-        # baseline — the kernel's tap-major accumulation order shifts
-        # f32 losses by ~3e-4 rel through the EM cost_std amplification
-        # (observed at the 96^2 train-parity shape), while bf16
-        # tolerances absorb it.  The f32 kernel itself stays covered by
-        # the direct tests (tests/test_pallas_fused_head.py).
-        and sp[1] % 16 == 0  # H chunking (CHUNK=16)
-        and sp[1] >= 18  # >= CHUNK + 2 halo rows
-        and sp[2] >= 8  # any lane-dim width; a round-2 Mosaic build
-        # rejected the tap GEMM at W=48, which no longer reproduces —
-        # the width sweep (48/64/80/96/112/128) compiles and matches the
-        # XLA ConvT reference (tests/test_pallas_fused_head.py)
-        and x.shape[-1] % 128 == 0  # full lane tiles for the VMEM slab
-    ):
+    if pallas_head_active(sp, x.shape[-1], dt):
         # TPU: the Pallas kernel keeps the (B, *sp, 125) tap tensor in
         # VMEM instead of HBM (ops/pallas_fused_head.py).
         from picad_tpu.ops.pallas_fused_head import composite_convt

@@ -1,13 +1,22 @@
 """Exact Pallas tap-GEMM kernels for stride-1 VALID 2-D convolutions.
 
 Built for the PrimaryCaps 9x9 convs (models/capsules_ucf101.py:33-41:
-two VALID convs over the (B, 28, 28, 832) Mixed_4f map).  XLA's conv
-emitters run this family at 8-24% MFU on TPU (the 9x9 window defeats
-its tiling: the round-3 device trace showed fwd ~10 ms, input-grad
-~19 ms, weight-grad ~13 ms for ~0.9 TFLOP of work each, i.e. the
-whole family costs ~42 ms of a ~73 ms train step).  Reformulated as
-81 full-width MXU GEMMs each, the family is pure matmul at MXU-native
-shapes (M~12.5k, K=832, N=544).
+two VALID convs over the (B, 28, 28, 832) Mixed_4f map).  Reformulated
+as 81 full-width MXU GEMMs per direction, the family is pure matmul at
+MXU-native shapes (M~12.5k, K=832, N up to 544).
+
+History of the motivating claim: an early-round-3 trace attributed
+~42 ms of a ~73 ms step to this family (fwd ~10 / dx ~19 / dW ~13 ms),
+which is what justified building these kernels — but the full-step
+hardware A/B then REJECTED them (-9.2 ms, see _ENABLED below), and the
+round-4 trace of the final step shows the family's fused ops at roughly
+fwd ~2.9 / dx ~5.0 / dW ~3.1 ms ≈ 11 ms/step (tools/trace_step.py;
+attribution is approximate because XLA fuses neighbors into these ops).
+The two findings are consistent: the early trace misattributed fused
+neighbor work to the conv family, and XLA's in-context conv fusions
+run it far closer to the achievable rate than the 8-24%-MFU story
+suggested.  The kernels stay as a correctness-validated reference
+formulation and a bound on what a standalone-GEMM rewrite can give.
 
 The formulation — "flat tap GEMMs":
 
@@ -520,6 +529,13 @@ def _use_pallas(x_shape, kshape, dtype) -> bool:
     if M < 4096 or Ci < 128 or len(offsets) < 9:
         return False
     return True
+
+
+# public alias: bench.py queries whether the kernels would dispatch for
+# a given problem before crediting their analytic FLOPs (XLA's cost model
+# counts Pallas custom-calls as 0; crediting a path that did NOT run
+# inflates MFU — the round-3 bench made exactly that mistake)
+kernels_active = _use_pallas
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

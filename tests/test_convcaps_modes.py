@@ -53,3 +53,31 @@ def test_class_caps_coord_add_changes_votes():
     m2 = ConvCaps(coor_add=True, **kwargs)
     out2 = m2.apply(v, x)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_primary_caps_split_vs_merged_equivalent():
+    """The PICAD_PCAPS_SPLIT default (two separate pose/act convs) and
+    the merged 544-channel A/B counterfactual compute the same math:
+    per-output-channel reductions are independent, so concatenating the
+    kernels changes nothing mathematically (tools/ab_primarycaps.py
+    relies on this to be a pure perf A/B).  Equality is exact on the
+    TPU default-precision path; under highest-precision f32 the conv's
+    K-reduction tiling differs between Co=544 and Co=512/32, so the two
+    forms differ at the float-reassociation level (~7e-7 abs observed),
+    hence allclose rather than array_equal."""
+    import picad_tpu.models.capsules as capsules
+    from picad_tpu.models.capsules import PrimaryCaps
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 11, 11, 24)).astype(np.float32))
+    m = PrimaryCaps(caps_types=4, pose_size=2, kernel=3)
+    v = m.init(jax.random.PRNGKey(1), x)
+    prev = capsules._PCAPS_SPLIT
+    try:
+        capsules._PCAPS_SPLIT = False
+        merged = np.asarray(m.apply(v, x))
+        capsules._PCAPS_SPLIT = True
+        split = np.asarray(m.apply(v, x))
+    finally:
+        capsules._PCAPS_SPLIT = prev
+    np.testing.assert_allclose(merged, split, rtol=2e-4, atol=2e-6)
