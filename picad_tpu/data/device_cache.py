@@ -6,11 +6,15 @@ tunneled/remote attachments, but also any setup where H2D serializes
 with compute — the transfer dominates end-to-end step time even with
 double buffering.  The TPU-first alternative implemented here: decoded
 videos live in device HBM as one uint8 frame pool, and each training
-step receives only CLIP METADATA (pool frame indices + crop origin +
-validity, ~100 bytes/sample).  The crop-gather, mask threshold, /255
-and horizontal flip all fuse into the jitted train step, so steady-state
-input cost is a few hundred host bytes per step plus a trivial on-device
-gather.
+step ships only CLIP METADATA (pool frame indices + crop origin +
+validity, ~100 bytes/sample).  A tiny jitted ASSEMBLER program
+(`assemble_batch`, dispatched from the loader's prefetch thread) turns
+metadata into a plain-layout uint8 pixel batch on device (~0.9 ms at
+bs=8/224^2), and the train step itself is the SAME program as the
+streaming path — steady-state input cost is a few hundred host bytes
+per step.  (A round-3 design fused the gather into the train step
+instead; its layout choices leaked ~9 ms/step of relayout copies into
+the step body — see assemble_batch's docstring for the trace record.)
 
 Semantics are identical to the streaming path: `DeviceClipDataset`
 reuses `ClipDataset`'s sampling rules (same rng stream, same
@@ -165,8 +169,9 @@ class DeviceClipDataset(ClipDataset):
       valid (depth,) float32    — per-frame validity (JHMDB rule)
       action / label_vid  int32
 
-    The pixel work happens in `assemble_clips_on_device` inside the
-    jitted step.  Sampling decisions (clip span, crop, degrade-to-zero)
+    The pixel work happens in the jitted `assemble_batch` program on
+    the loader's prefetch thread (make_assembler_put).  Sampling
+    decisions (clip span, crop, degrade-to-zero)
     are IDENTICAL to the host ClipDataset: same `_sample_plan`, same
     per-(seed, epoch, index) rng stream.
     """
@@ -227,6 +232,93 @@ class DeviceClipDataset(ClipDataset):
         }
 
 
+def assemble_batch(pools, meta, out_hw: tuple[int, int]):
+    """Metadata batch -> PLAIN-layout pixel batch (the loader stage).
+
+    Emits exactly the streaming path's device_prep batch layout —
+    data uint8 (B, d, h, w, 3), loc_msk uint8 (B, d, h, w, 1) with the
+    JHMDB per-frame validity ANDed in, plus the passthrough scalars —
+    so the train step is ONE program regardless of input path.
+
+    Why a separate program instead of fusing the gather into the step
+    (the round-3 design): the in-step gather's layout choices leaked
+    into the step body — XLA materialized the horizontal flip as an f32
+    reverse (~4.2 ms), plus space-to-depth reshape/copy pairs (~3.7 ms)
+    and an unfused /255 convert (~1.4 ms) that the plain-parameter step
+    fuses away; ~9.2 ms/step of pure relayout at bs=8/224^2 on v5e,
+    while this whole assembler runs ~0.9 ms (tools/trace_cached.py,
+    tools/probe_gather.py, 2026-08-19).  As a loader stage it also
+    reuses the plain step's compile-cache entry.
+    """
+    import jax.numpy as jnp
+
+    data, mask = _gather_clips(
+        pools["pool_video"], pools["pool_mask"], meta["frame_idx"],
+        meta["crop_y"], meta["crop_x"], out_hw,
+    )
+    # valid is float32 {0, 1} (JHMDB per-frame validity; all-ones for
+    # UCF) — exact as uint8, and the AND keeps loc_msk in {0, 1}.
+    valid_u8 = meta["valid"].astype(jnp.uint8)
+    batch = {
+        "data": data,
+        "loc_msk": mask * valid_u8[:, :, None, None, None],
+        "action": meta["action"],
+        "label_vid": meta["label_vid"],
+    }
+    if "row_mask" in meta:
+        batch["row_mask"] = meta["row_mask"]
+    return batch
+
+
+def make_assembler_put(pools, out_hw: tuple[int, int], *, sharding=None,
+                       put_batch=None):
+    """PrefetchLoader `put_fn`: host metadata batch -> device pixel batch.
+
+    The device_put of the ~100-byte metadata and the jitted
+    `assemble_batch` dispatch both run on the loader's prefetch thread,
+    overlapping the previous step's compute.  `sharding` (a batch
+    NamedSharding) shards the metadata and the assembled batch alike;
+    `put_batch` overrides the metadata placement (e.g. a multi-host
+    put_global_batch).
+    """
+    import functools
+
+    import jax
+
+    jitted = jax.jit(
+        functools.partial(assemble_batch, out_hw=out_hw),
+        **({"out_shardings": sharding} if sharding is not None else {}),
+    )
+
+    def put(meta):
+        if put_batch is not None:
+            meta = put_batch(meta)
+        elif sharding is not None:
+            meta = jax.device_put(meta, sharding)
+        else:
+            meta = jax.device_put(meta)
+        return jitted(pools, meta)
+
+    return put
+
+
+def _gather_clips(pool_video, pool_mask, frame_idx, crop_y, crop_x, out_hw):
+    """vmapped dynamic-slice crop-gather (uint8 video + uint8 mask)."""
+    import jax
+
+    ch, cw = out_hw
+
+    def one_frame(f, y, x):
+        v = jax.lax.dynamic_slice(pool_video, (f, y, x, 0), (1, ch, cw, 3))[0]
+        m = jax.lax.dynamic_slice(pool_mask, (f, y, x, 0), (1, ch, cw, 1))[0]
+        return v, m
+
+    def one_clip(fs, y, x):
+        return jax.vmap(lambda f: one_frame(f, y, x))(fs)
+
+    return jax.vmap(one_clip)(frame_idx, crop_y, crop_x)
+
+
 def assemble_clips_on_device(
     pool_video,  # (F, H, W, 3) uint8
     pool_mask,  # (F, H, W, 1) uint8 in {0, 1}
@@ -242,19 +334,10 @@ def assemble_clips_on_device(
     normalized later in prepare_views), seg = (mask[span][crop] > 0) &
     valid (threshold pre-applied at pool upload).
     """
-    import jax
     import jax.numpy as jnp
 
-    ch, cw = out_hw
-
-    def one_frame(f, y, x):
-        v = jax.lax.dynamic_slice(pool_video, (f, y, x, 0), (1, ch, cw, 3))[0]
-        m = jax.lax.dynamic_slice(pool_mask, (f, y, x, 0), (1, ch, cw, 1))[0]
-        return v, m
-
-    def one_clip(fs, y, x):
-        return jax.vmap(lambda f: one_frame(f, y, x))(fs)
-
-    data, mask = jax.vmap(one_clip)(frame_idx, crop_y, crop_x)
+    data, mask = _gather_clips(
+        pool_video, pool_mask, frame_idx, crop_y, crop_x, out_hw
+    )
     seg = mask[..., 0].astype(jnp.float32) * valid[:, :, None, None]
     return data, seg

@@ -88,17 +88,28 @@ class Trainer:
         self.state = jax.device_put(self.state, self.replicated)
 
         # Device-resident video cache (data/device_cache.py): datasets
-        # carry `.cache`; the step then takes the HBM frame pools as a
-        # fifth arg and batches are ~100-byte clip metadata.
+        # carry `.cache`; batches are ~100-byte clip metadata that a
+        # tiny jitted assembler program turns into plain pixel batches
+        # on the loader's prefetch thread — the TRAIN STEP is the same
+        # program as the streaming path (see assemble_batch for why
+        # in-step assembly lost ~9 ms/step to relayout copies).
         cache = getattr(labeled_dataset, "cache", None)
-        self._pools = None
+        self._assemble_put = None
         if cache is not None:
-            self._pools = jax.device_put(
+            from picad_tpu.data.device_cache import make_assembler_put
+
+            pools = jax.device_put(
                 {
                     "pool_video": cache.pool_video,
                     "pool_mask": cache.pool_mask,
                 },
                 self.replicated,
+            )
+            self._assemble_put = make_assembler_put(
+                pools,
+                (cfg.data.clip_height, cfg.data.clip_width),
+                sharding=self.batch_sharding,
+                put_batch=lambda b: put_global_batch(b, self.mesh),
             )
         # --watch: the reference's wandb.watch(model) (main_jhmdb.py:422)
         # = periodic param/grad magnitude logging.  grad_metrics folds a
@@ -107,18 +118,11 @@ class Trainer:
         self._watch = watch
         step_fn = make_train_step(
             self.model, self.optimizer, cfg.loss, fold_flip=cfg.fold_flip,
-            device_cache_hw=(
-                (cfg.data.clip_height, cfg.data.clip_width)
-                if cache is not None else None
-            ),
             grad_metrics=watch,
         )
-        step_shardings = (self.replicated, self.batch_sharding, None, None)
-        if cache is not None:
-            step_shardings = step_shardings + (self.replicated,)
         self.train_step = jax.jit(
             step_fn,
-            in_shardings=step_shardings,
+            in_shardings=(self.replicated, self.batch_sharding, None, None),
             out_shardings=(self.replicated, self.replicated),
             donate_argnums=(0,),
         )
@@ -208,7 +212,8 @@ class Trainer:
             self.batcher.epoch(epoch),
             sharding=self.batch_sharding,
             prefetch=cfg.data.prefetch,
-            put_fn=lambda b: put_global_batch(b, self.mesh),
+            put_fn=self._assemble_put
+            or (lambda b: put_global_batch(b, self.mesh)),
         )
         steps = self.batcher.steps_per_epoch()
         timer = StepTimer(clips_per_step=cfg.bs, n_chips=self.mesh.size)
@@ -224,14 +229,9 @@ class Trainer:
             if profiling and batch_id == 3:
                 jax.profiler.start_trace(cfg.profile_dir)
                 trace_open = True
-            if self._pools is not None:
-                self.state, metrics = self.train_step(
-                    self.state, batch, epoch_arr, wt_ramp, self._pools
-                )
-            else:
-                self.state, metrics = self.train_step(
-                    self.state, batch, epoch_arr, wt_ramp
-                )
+            self.state, metrics = self.train_step(
+                self.state, batch, epoch_arr, wt_ramp
+            )
             running.append(metrics)
             if trace_open and batch_id == 7:
                 jax.block_until_ready(metrics)
@@ -304,9 +304,15 @@ class Trainer:
                 samples = list(pool.map(self.val_dataset.__getitem__, idx))
                 n_real = len(samples)
                 if n_real == 0:  # short shard: all-pad step, stay in lockstep
-                    template = self.val_dataset[0]
+                    # zero_sample() is a pure shape template — fetching
+                    # self.val_dataset[0] here would decode a full video
+                    # inside this edge case on real data
+                    mk = getattr(self.val_dataset, "zero_sample", None)
                     samples = [
-                        {k: np.zeros_like(v) for k, v in template.items()}
+                        mk() if mk is not None else {
+                            k: np.zeros_like(v)
+                            for k, v in self.val_dataset[0].items()
+                        }
                     ]
                 while len(samples) < bs:  # zero-pad the ragged final batch
                     samples.append(

@@ -45,34 +45,22 @@ from picad_tpu.objectives.losses import weighted_mse_outer
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
 
 
-def prepare_views(batch, pools=None, out_hw=(224, 224)):
+def prepare_views(batch):
     """(data, aug_data, seg_gt) as f32, normalizing/flipping on device.
 
-    Three sample layouts:
+    Two sample layouts:
     - reference layout: float32 `data` + precomputed `aug_data`
       (data/dataset.py device_prep=False);
-    - TPU streaming layout: uint8 `data`, no `aug_data` key — /255 and
+    - TPU uint8 layout: uint8 `data`, no `aug_data` key — /255 and
       the horizontal flip (ucf_dataloader.py:170-175) fuse into the
-      step, cutting H2D bytes ~8x.  Numerics identical (same f32 ops);
-    - device-cache layout (`pools` given, batch carries `frame_idx`):
-      the batch is ~100 bytes/sample of clip metadata and the whole
-      crop-gather happens here against the HBM-resident frame pool
-      (data/device_cache.py) — no per-step pixel H2D at all.
+      step, cutting H2D bytes ~8x.  Numerics identical (same f32 ops).
+      Both the host streaming pipeline AND the device-cache assembler
+      (data/device_cache.py assemble_batch) produce this layout, so the
+      step is one program regardless of input path.  (Fusing the
+      device-cache gather into the step was measured ~9 ms/step SLOWER
+      than this split — the gather's layouts leaked relayout copies
+      into the step body; see assemble_batch.)
     """
-    if pools is not None and "frame_idx" in batch:
-        from picad_tpu.data.device_cache import assemble_clips_on_device
-
-        data_u8, seg_gt = assemble_clips_on_device(
-            pools["pool_video"],
-            pools["pool_mask"],
-            batch["frame_idx"],
-            batch["crop_y"],
-            batch["crop_x"],
-            batch["valid"],
-            out_hw,
-        )
-        data = data_u8.astype(jnp.float32) / 255.0
-        return data, jnp.flip(data, axis=3), seg_gt
     data = batch["data"]
     if data.dtype == jnp.uint8:
         data = data.astype(jnp.float32) / 255.0
@@ -131,14 +119,13 @@ def make_train_step(
     loss_cfg: LossConfig,
     *,
     fold_flip: bool = False,
-    device_cache_hw: tuple[int, int] | None = None,
     grad_metrics: bool = False,
 ):
     """Build the (unjitted) train step; caller jits with shardings.
 
-    With `device_cache_hw=(h, w)` the returned step takes a fifth
-    argument `pools` (the DeviceVideoCache frame pools) and expects
-    metadata batches (data/device_cache.py) instead of pixel batches.
+    The step takes PIXEL batches only; the device-cache path assembles
+    them in the loader (data/device_cache.py make_assembler_put), so
+    one compiled program serves every input path.
 
     `grad_metrics` adds a `grad_norm` scalar (global L2 of the raw
     gradient pytree) to the metrics — the on-device half of the
@@ -174,10 +161,8 @@ def make_train_step(
         )
         return out, mutated["batch_stats"]
 
-    def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2, pools):
-        data, aug, seg_gt = prepare_views(
-            batch, pools, device_cache_hw or (224, 224)
-        )
+    def loss_fn(params, stats, batch, epoch, wt_ramp, rng1, rng2):
+        data, aug, seg_gt = prepare_views(batch)
         action = batch["action"].astype(jnp.int32)
         flags = batch["label_vid"].astype(jnp.float32)
         # row_mask marks real rows: the ragged final batch of an epoch is
@@ -293,12 +278,12 @@ def make_train_step(
         }
         return total, (stats, metrics)
 
-    def _step(state, batch, epoch, wt_ramp, pools):
+    def train_step(state, batch, epoch, wt_ramp):
         rng, rng1, rng2 = jax.random.split(state.rng, 3)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch, epoch, wt_ramp, rng1,
-            rng2, pools,
+            rng2,
         )
         if grad_metrics:
             metrics = dict(metrics, grad_norm=optax.global_norm(grads))
@@ -314,13 +299,6 @@ def make_train_step(
             rng=rng,
         )
         return new_state, metrics
-
-    if device_cache_hw is not None:
-        def train_step(state, batch, epoch, wt_ramp, pools):
-            return _step(state, batch, epoch, wt_ramp, pools)
-    else:
-        def train_step(state, batch, epoch, wt_ramp):
-            return _step(state, batch, epoch, wt_ramp, None)
 
     return train_step
 

@@ -59,6 +59,52 @@ def test_sampling_parity_with_host_dataset(cache):
             assert int(ms["label_vid"]) == int(hs["label_vid"])
 
 
+def test_assembler_batch_matches_host_streaming_batch(cache):
+    """make_assembler_put over metadata batches yields BIT-IDENTICAL
+    pixel batches to the host streaming pipeline (same batcher config,
+    same seeds) — the invariant that lets the device-cache path reuse
+    the streaming path's compiled train-step executable."""
+    import jax
+
+    from picad_tpu.data.device_cache import make_assembler_put
+    from picad_tpu.data.loader import PrefetchLoader
+
+    def meta_batcher():
+        lab = DeviceClipDataset(cache, train=True, clip_shape=(48, 64), seed=1)
+        unl = DeviceClipDataset(cache, train=True, clip_shape=(48, 64), seed=2)
+        return SemiSupervisedBatcher(
+            lab, unl, batch_size=4, seed=0, workers=2,
+            process_index=0, process_count=1,
+        )
+
+    def host_batcher():
+        lab = ClipDataset(
+            make_source(), train=True, clip_shape=(48, 64),
+            device_prep=True, seed=1,
+        )
+        unl = ClipDataset(
+            make_source(), train=True, clip_shape=(48, 64),
+            device_prep=True, seed=2,
+        )
+        return SemiSupervisedBatcher(
+            lab, unl, batch_size=4, seed=0, workers=2,
+            process_index=0, process_count=1,
+        )
+
+    pools = {"pool_video": cache.pool_video, "pool_mask": cache.pool_mask}
+    put = make_assembler_put(pools, (48, 64))
+    for epoch in (0, 1):
+        dev = list(PrefetchLoader(meta_batcher().epoch(epoch), put_fn=put))
+        host = list(host_batcher().epoch(epoch))
+        assert len(dev) == len(host) > 0
+        for d, h in zip(dev, host):
+            assert set(d) == set(h)
+            for k in h:
+                a = np.asarray(jax.device_get(d[k]))
+                np.testing.assert_array_equal(a, h[k], err_msg=k)
+                assert a.dtype == h[k].dtype, k
+
+
 def test_degraded_sample_is_zero(cache):
     """Out-of-range clip spans degrade to the reserved zero frame."""
     meta = DeviceClipDataset(cache, train=True, clip_shape=(48, 64), depth=32)
@@ -98,13 +144,18 @@ def test_budget_enforced():
 
 @pytest.mark.heavy
 def test_train_step_on_device_cache(cache):
-    """One jitted train step over metadata batches runs and is finite.
+    """The PLAIN train step over assembler-produced batches runs and is
+    finite — the production device-cache flow (metadata batcher ->
+    make_assembler_put on the prefetch thread -> the same step program
+    as the streaming path).
 
     heavy: compiles a full 96^2 CapsNet train step (minutes cold)."""
     import jax
     import jax.numpy as jnp
 
     from picad_tpu.config import LossConfig
+    from picad_tpu.data.device_cache import make_assembler_put
+    from picad_tpu.data.loader import PrefetchLoader
     from picad_tpu.models.capsules import CapsNet
     from picad_tpu.train.optimizer import make_optimizer
     from picad_tpu.train.state import create_train_state
@@ -121,7 +172,7 @@ def test_train_step_on_device_cache(cache):
         make_train_step(
             model, opt,
             LossConfig(bv=True, n_frames=5, wt_cons=0.1, thresh_epoch=11),
-            fold_flip=True, device_cache_hw=(H, W),
+            fold_flip=True,
         ),
         donate_argnums=(0,),
     )
@@ -132,9 +183,13 @@ def test_train_step_on_device_cache(cache):
         process_index=0, process_count=1,
     )
     pools = {"pool_video": cache.pool_video, "pool_mask": cache.pool_mask}
-    batch = next(iter(batcher.epoch(0)))
+    loader = PrefetchLoader(
+        batcher.epoch(0), put_fn=make_assembler_put(pools, (H, W))
+    )
+    batch = next(iter(loader))
+    assert batch["data"].dtype == jnp.uint8
+    assert batch["loc_msk"].shape == (2, 8, H, W, 1)
     state, metrics = step(
-        state, jax.device_put(batch), jnp.asarray(12.0), jnp.asarray(0.5),
-        pools,
+        state, batch, jnp.asarray(12.0), jnp.asarray(0.5)
     )
     assert np.isfinite(float(metrics["loss"]))
