@@ -113,12 +113,12 @@ def _require_device(timeout_s: float = 180.0):
         print(
             f"bench: backend init did not complete within {timeout_s:.0f}s "
             "(TPU attachment down?)",
-            file=__import__("sys").stderr,
+            file=sys.stderr,
         )
         raise SystemExit(3)
     if "error" in result:
         print(f"bench: backend init failed: {result['error']}",
-              file=__import__("sys").stderr)
+              file=sys.stderr)
         raise SystemExit(3)
 
 
@@ -126,7 +126,11 @@ def main():
     _require_device()
     from picad_tpu.config import LossConfig
     from picad_tpu.data.dataset import ClipDataset
-    from picad_tpu.data.device_cache import DeviceClipDataset, DeviceVideoCache
+    from picad_tpu.data.device_cache import (
+        DeviceClipDataset,
+        DeviceVideoCache,
+        make_assembler_put,
+    )
     from picad_tpu.data.loader import PrefetchLoader, SemiSupervisedBatcher
     from picad_tpu.data.sources import (
         CachedVideoSource,
@@ -192,21 +196,35 @@ def main():
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
-    # XLA's cost model counts Pallas custom-calls as 0 FLOPs; add the
-    # kernels' useful work analytically (USEFUL contractions only — the
-    # canvas-padding waste of the tap-GEMM kernels is not credited):
+    # XLA's cost model counts Pallas custom-calls as 0 FLOPs; add each
+    # kernel family's useful work analytically, but ONLY when its
+    # dispatch gate says the Pallas path actually ran this step (the
+    # round-3 bench credited the tapconv family unconditionally even
+    # though PICAD_TAPCONV defaults off — the step ran the literal lax
+    # conv, whose FLOPs XLA already counts, inflating MFU ~45%).
+    # USEFUL contractions only — canvas-padding waste is not credited:
     #  - tapconv (PrimaryCaps 9x9, fwd+dx+dW): 3 * 2*B*HO*WO*Ci*Co*KH*KW
-    #    at B=2*bs (fold_flip), HO=WO=20, Ci=832, Co=544, K=9x9
+    #    at B=2*bs (fold_flip), HO=WO=20, Ci=832, K=9x9, per conv head
+    #    (the default PrimaryCaps runs two separate convs, Co=512 + 32 —
+    #    the measured winner, models/capsules.py `_PCAPS_SPLIT`)
     #  - fused decoder head (composite ConvT fwd + bwd kernels): every
     #    input element feeds 125 taps x 128 channels, fwd + (dx, dKc)
     #    backward GEMMs over the same tap view ~ 3x that contraction
     if step_flops:
+        from picad_tpu.models import capsules
+        from picad_tpu.ops import fused_head, tapconv
+
         fold = 2 * BS
         ho = H // 8 - 8  # 28x28 Mixed_4f map -> 20x20 after the 9x9 VALID
-        tap_fams = 3 * 2 * fold * ho * ho * 832 * 544 * 81
-        comp_elems = fold * 4 * (H // 2) * (W // 2) * 128  # (B,4,112,112,128)
-        composite = 3 * 2 * comp_elems * 125
-        step_flops += tap_fams + composite
+        pcaps_cos = (512, 32) if capsules._PCAPS_SPLIT else (544,)
+        for co in pcaps_cos:
+            if tapconv.kernels_active(
+                (fold, H // 8, W // 8, 832), (9, 9, 832, co), jnp.bfloat16
+            ):
+                step_flops += 3 * 2 * fold * ho * ho * 832 * co * 81
+        if fused_head.pallas_head_active((4, H // 2, W // 2), 128, jnp.bfloat16):
+            comp_elems = fold * 4 * (H // 2) * (W // 2) * 128  # (B,4,112,112,128)
+            step_flops += 3 * 2 * comp_elems * 125
 
     _phase("device-resident warmup")
     for _ in range(WARMUP_STEPS):
@@ -252,14 +270,6 @@ def main():
         mkd(0, n_l), mkd(n_l, BS * 2), batch_size=BS, seed=0, workers=2,
         process_index=0, process_count=1,
     )
-    cached_step = jax.jit(
-        make_train_step(
-            model, optimizer, loss_cfg, fold_flip=True, device_cache_hw=(H, W)
-        ),
-        in_shardings=(repl, shard, None, None, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
 
     def epochs_forever(batcher):
         e = 1
@@ -267,20 +277,49 @@ def main():
             yield from batcher.epoch(e)
             e += 1
 
+    # Metadata batches assemble into PLAIN pixel batches via a tiny
+    # jitted program on the prefetch thread (~0.9 ms on-device), and the
+    # train step is the SAME compiled executable as the device-resident
+    # section — no second trace, no in-step gather (the round-3 design
+    # fused the gather into the step and paid ~9 ms/step of relayout;
+    # see data/device_cache.py assemble_batch).
+    assembler = make_assembler_put(pools, (H, W), sharding=shard)
     loader = iter(PrefetchLoader(
-        epochs_forever(cache_batcher), sharding=shard, prefetch=2
+        epochs_forever(cache_batcher), put_fn=assembler, prefetch=2
     ))
-    _phase("tracing + compiling the device-cache step (single trace)")
+    _phase("compiling the assembler (loader-stage program)")
     first = next(loader)
-    cached_compiled = cached_step.lower(state, first, epoch, ramp, pools).compile()
-    state, metrics = cached_compiled(state, first, epoch, ramp, pools)
+    # compiled_step is an AOT executable (hard-errors on aval/pytree
+    # drift): the assembler's output must mirror batch_np's layout.
+    spec = lambda b: jax.tree_util.tree_map(
+        lambda a: (a.shape, str(a.dtype)), b
+    )
+    assert spec(first) == spec(batch), (
+        f"assembler layout drifted from the AOT step's batch: "
+        f"{spec(first)} vs {spec(batch)}"
+    )
+    state, metrics = compiled_step(state, first, epoch, ramp)
     float(metrics["loss"])
     _phase("device-cache e2e measurement")
     t0 = time.perf_counter()
     for _ in range(E2E_STEPS):
-        state, metrics = cached_compiled(state, next(loader), epoch, ramp, pools)
+        state, metrics = compiled_step(state, next(loader), epoch, ramp)
     float(metrics["loss"])
     e2e = E2E_STEPS * BS / (time.perf_counter() - t0) / n_chips
+
+    # Flush the REQUIRED-section results to stderr before the optional
+    # streaming section: a hard wall-kill mid-streaming must not lose the
+    # mandatory measurements (the stdout one-JSON-line contract holds —
+    # this is a recovery breadcrumb, not the result channel).
+    _phase(
+        "partial results: "
+        + json.dumps({
+            "value": round(per_chip, 2),
+            "e2e_clips_per_sec_per_chip": round(e2e, 2),
+            "mfu": round(mfu, 4),
+            "step_tflops": round(step_flops / 1e12, 2),
+        })
+    )
 
     # ---- streaming fallback e2e (native zero-copy host assembly) ----
     # OPTIONAL section: the production fast path is the device cache
@@ -330,7 +369,13 @@ def main():
         loader = iter(PrefetchLoader(
             epochs_forever(stream_batcher), sharding=shard, prefetch=2
         ))
-        state, metrics = compiled_step(state, next(loader), epoch, ramp)
+        first_stream = next(loader)
+        # same AOT-drift guard as the device-cache section above
+        assert spec(first_stream) == spec(batch), (
+            "streaming loader layout drifted from the AOT step's batch: "
+            f"{spec(first_stream)} vs {spec(batch)}"
+        )
+        state, metrics = compiled_step(state, first_stream, epoch, ramp)
         float(metrics["loss"])
         _phase("streaming e2e measurement")
         t0 = time.perf_counter()
