@@ -130,12 +130,40 @@ DRIVER = textwrap.dedent(
         losses.append(float(metrics['loss']))
         if len(losses) >= n_steps:
             break
+
+    if len(sys.argv) > 4:  # checkpoint/resume across both workers
+        save_dir = sys.argv[4]
+        from picad_tpu.checkpoint.manager import BestCheckpointPolicy
+        pol = BestCheckpointPolicy(save_dir, 'val')
+        # identical loss on every process => identical policy decisions
+        path = pol.maybe_save(1, losses[-1], state)
+        assert path is not None, 'first improvement must save'
+        assert pol.maybe_save(2, losses[-1] + 1.0, state) is None
+        multihost_utils.sync_global_devices('ckpt-written')
+        # both workers resume (Trainer.restore flow: host template ->
+        # orbax restore -> device_put back onto the global mesh)
+        template = jax.device_get(state)
+        restored = pol.io.restore(path, template)
+        state2 = jax.device_put(restored, repl)
+        import numpy as np2
+        for a, b in zip(jax.tree.leaves(jax.device_get(state2)),
+                        jax.tree.leaves(template)):
+            np2.testing.assert_array_equal(np2.asarray(a), np2.asarray(b))
+        # one more lockstep step from the restored state on BOTH workers
+        gb = put_global_batch(next(iter(batcher.epoch(2))), mesh)
+        state2, metrics = step(
+            state2, gb, jnp.asarray(2.0, jnp.float32),
+            jnp.asarray(0.5, jnp.float32),
+        )
+        losses.append(float(metrics['loss']))
+
     print('MULTIHOST_OK', pid, losses)
     """
 )
 
 
-def _run_two_processes(tmp_path, model_kind: str, timeout: int):
+def _run_two_processes(tmp_path, model_kind: str, timeout: int,
+                       ckpt: bool = False):
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -145,6 +173,7 @@ def _run_two_processes(tmp_path, model_kind: str, timeout: int):
     )
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    extra = [str(tmp_path / "ckpt")] if ckpt else []
 
     def attempt():
         with socket.socket() as s:
@@ -152,7 +181,8 @@ def _run_two_processes(tmp_path, model_kind: str, timeout: int):
             port = str(s.getsockname()[1])
         procs = [
             subprocess.Popen(
-                [sys.executable, str(driver), str(pid), port, model_kind],
+                [sys.executable, str(driver), str(pid), port, model_kind]
+                + extra,
                 cwd=repo, env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
@@ -192,6 +222,15 @@ def _run_two_processes(tmp_path, model_kind: str, timeout: int):
 @pytest.mark.heavy
 def test_two_process_cpu_global_batch(tmp_path):
     _run_two_processes(tmp_path, "tiny", timeout=900)
+
+
+@pytest.mark.heavy
+def test_two_process_ckpt_save_restore(tmp_path):
+    """Multi-host checkpoint/resume lockstep: BestCheckpointPolicy's
+    process-0 write gating (checkpoint/manager.py) + orbax restore +
+    device_put back onto the global mesh on BOTH workers, then one more
+    lockstep step from the restored state (DRIVER's argv[4] branch)."""
+    _run_two_processes(tmp_path, "tiny", timeout=900, ckpt=True)
 
 
 @pytest.mark.heavy

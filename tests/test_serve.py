@@ -39,7 +39,14 @@ class TinySig(nn.Module):
         return seg, scores, None
 
 
-def _make_artifact(tmp_path, clip_bs=4, hw=16, platforms=("cpu",)):
+def _make_artifact(tmp_path, clip_bs=4, hw=16, platforms=None):
+    # Default: export for whatever backend this session runs on — an
+    # artifact exported for a platform list that excludes the executing
+    # backend correctly refuses to run (jax.export's platform check),
+    # which is what a hardcoded ("cpu",) did to every call-the-artifact
+    # test on TPU-attached sessions.
+    if platforms is None:
+        platforms = (jax.default_backend(),)
     model = TinySig()
     variables = model.init(
         jax.random.PRNGKey(0),
@@ -95,7 +102,7 @@ def test_artifact_layout_and_meta(tmp_path):
         meta = json.load(f)
     assert meta["clip_batch_size"] == 4
     assert meta["height"] == meta["width"] == 16
-    assert meta["platforms"] == ["cpu"]
+    assert meta["platforms"] == [jax.default_backend()]
     assert meta["num_classes"] == 24
     assert meta["test"] is True
 
