@@ -19,15 +19,29 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointIO:
-    """Thin Orbax wrapper for whole-train-state checkpoints."""
+    """Thin Orbax wrapper for whole-train-state checkpoints.
+
+    Multi-process: orbax's save is a COLLECTIVE — StandardCheckpointer
+    runs its own sync_global_processes barriers internally, so every
+    process must call save() (a process-0-only call mismatches the
+    barrier and aborts the run; caught by
+    tests/test_multihost.py::test_two_process_ckpt_save_restore).
+    Orbax itself makes sure only the owning processes touch the
+    filesystem; the pre-save cleanup here is process-0-gated with a
+    barrier so the rmtree cannot race another process's save.
+    """
 
     def __init__(self):
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, path: str, state: Any) -> None:
         path = os.path.abspath(path)
-        if os.path.exists(path):
+        if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"picad-ckpt-clean:{path}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
 
@@ -55,11 +69,11 @@ class BestCheckpointPolicy:
         )
         # Multi-host: losses are identical on every process (the step
         # reduces over the GLOBAL batch), so the policy's decisions stay
-        # in lockstep — but only process 0 touches the (shared) filesystem.
-        # Concurrent rmtree+save of one path from N processes is a
-        # corruption race; the non-writers only track prev_path/best_loss.
+        # in lockstep, and EVERY process calls the collective orbax save
+        # (see CheckpointIO.save — orbax coordinates who writes).  Only
+        # process 0 performs the retention delete of the previous best.
+        self.io.save(path, state)
         if jax.process_index() == 0:
-            self.io.save(path, state)
             if self.prev_path and epoch < self.keep_all_after_epoch:
                 shutil.rmtree(self.prev_path, ignore_errors=True)
         self.prev_path = path
