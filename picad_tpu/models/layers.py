@@ -17,6 +17,7 @@ Parameters are stored in f32; convolutions cast to `compute_dtype`
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -25,6 +26,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from picad_tpu.ops.convops import conv_nd
+
+# One-pass BN batch stats (E[x^2] - E[x]^2) instead of the two-pass
+# E[(x - E[x])^2].  Hardware-A/B'd ON like every default here
+# (tools/ab_tapconv.py --bn-onepass, v5e, full train step: two runs,
+# -2.7 / -2.6 ms of a ~73 ms step — the 112^2 encoder BN stats drop one
+# whole HBM read of x).  PICAD_BN_ONEPASS=0 restores the literal
+# torch-form two-pass stats; the two differ only by f32 reassociation
+# roundoff (BN inputs are conv outputs with |mean| << std, and the
+# one-pass var is clamped >= 0), within every golden-parity tolerance
+# (tests/test_batchnorm.py, tests/test_train_parity.py).
+_BN_ONEPASS = os.environ.get("PICAD_BN_ONEPASS", "1") == "1"
 
 
 class TorchBatchNorm(nn.Module):
@@ -71,10 +83,23 @@ class TorchBatchNorm(nn.Module):
         # much better than the multi-axis reduce over (B/G, *spatial)
         # (measured several ms/step across the 112^2 encoder BNs)
         xf = x.astype(jnp.float32).reshape(G, n, c)
-        mean_g = jnp.mean(xf, axis=1)  # (G, C)
-        var_g = jnp.mean(
-            jnp.square(xf - mean_g[:, None, :]), axis=1
-        )  # biased, per group
+        if _BN_ONEPASS:
+            # One-pass stats: E[x] and E[x^2] reduce over the SAME input
+            # in one fused multi-output reduction (one HBM read of x for
+            # stats instead of two — the two-pass var needs mean first).
+            # var = E[x^2] - E[x]^2 in f32; BN inputs are conv outputs
+            # with |mean| << std here, so the cancellation risk that makes
+            # this form dangerous in general does not bite (clamped >= 0
+            # regardless).
+            mean_g = jnp.mean(xf, axis=1)  # (G, C)
+            var_g = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=1) - jnp.square(mean_g), 0.0
+            )
+        else:
+            mean_g = jnp.mean(xf, axis=1)  # (G, C)
+            var_g = jnp.mean(
+                jnp.square(xf - mean_g[:, None, :]), axis=1
+            )  # biased, per group
         xg = xf.reshape(G, B // G, *x.shape[1:])
         if not self.is_initializing():
             m = self.momentum

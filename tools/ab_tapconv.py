@@ -13,6 +13,13 @@ Usage (on a TPU-attached host):
     python tools/ab_tapconv.py 512 1280     # also sweep chunk sizes
     python tools/ab_tapconv.py --wpack      # + width-packed decoder convs
     python tools/ab_tapconv.py --em-remat   # + checkpointed EM routing
+    python tools/ab_tapconv.py --bn-onepass # + one-pass BN batch stats
+    python tools/ab_tapconv.py --no-tap ... # skip the tapconv-ON leg
+
+Note: every leg pins ALL lever globals explicitly (the baseline leg
+forces the two-pass BN form even though one-pass is the production
+default), so each printed line is that lever alone vs the same
+two-pass baseline regardless of env defaults.
 
 One process, sequential measurements (two device processes serialize
 through the tunneled attachment).
@@ -30,10 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
-              wpack: bool = False, em_remat: bool = False) -> float:
+              wpack: bool = False, em_remat: bool = False,
+              bn_onepass: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
+    import picad_tpu.models.layers as layers
     import picad_tpu.ops.em_routing as em
     import picad_tpu.ops.tapconv as tc
     import picad_tpu.ops.wpack as wp
@@ -41,6 +50,7 @@ def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
     tc._ENABLED = enabled
     wp._ENABLED = wpack
     em._REMAT = em_remat
+    layers._BN_ONEPASS = bn_onepass
     if chunk is not None:
         tc._CHUNK = chunk
 
@@ -100,7 +110,10 @@ def main():
     args = sys.argv[1:]
     do_wpack = "--wpack" in args
     do_em_remat = "--em-remat" in args
+    do_bn_onepass = "--bn-onepass" in args
     chunks = [int(a) for a in args if not a.startswith("--")] or [None]
+    if "--no-tap" in args:  # measure only the other levers vs baseline
+        chunks = []
     t_off = step_time(False)
     print(f"tapconv OFF : {t_off * 1e3:8.2f} ms/step "
           f"({8 / t_off:.1f} clips/s)", flush=True)
@@ -121,6 +134,11 @@ def main():
         print(f"EM remat ON (checkpointed routing): {t_em * 1e3:8.2f} "
               f"ms/step  {'WIN' if t_em < t_off else 'LOSS'} "
               f"{(t_off - t_em) * 1e3:+.2f} ms", flush=True)
+    if do_bn_onepass:
+        t_bn = step_time(False, bn_onepass=True)
+        print(f"BN one-pass stats ON: {t_bn * 1e3:8.2f} ms/step  "
+              f"{'WIN' if t_bn < t_off else 'LOSS'} "
+              f"{(t_off - t_bn) * 1e3:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
