@@ -289,6 +289,10 @@ class CapsNet(nn.Module):
         caps = self.num_classes
         dt = self.compute_dtype
         B_in, T_in, H_in, W_in = img.shape[:4]
+        if img.dtype == jnp.uint8:
+            # packed S2D uint8 views (train/step.py prepare_views): the
+            # logical clip dims are 2x the packed dims
+            T_in, H_in, W_in = 2 * T_in, 2 * H_in, 2 * W_in
         assert T_in == 8, "the I3D/decoder temporal schedule requires T=8"
 
         encoder_cls = InceptionI3d

@@ -97,27 +97,39 @@ class StemS2D(nn.Module):
     def __call__(self, x, train: bool = False):
         from picad_tpu.ops.convops import conv_nd
 
-        cin = x.shape[-1]
+        # uint8 input = PRE-PACKED raw pixels (train/step.py packed prep:
+        # the 2x2x2 space-to-depth was already applied in uint8, values
+        # 0..255).  The /255 normalization folds into the kernel instead:
+        # conv(x, w/255) == conv(x/255, w), and the BatchNorm right below
+        # absorbs any affine input scale exactly — f32 delta vs the
+        # pixel-normalized chain is ~1 ulp (tests/test_packed_prep.py).
+        packed = x.dtype == jnp.uint8
+        cin = (x.shape[-1] // 8) if packed else x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (7, 7, 7, cin, self.features),
             jnp.float32,
         )
-        B, T, H, W, C = x.shape
-        assert T % 2 == 0 and H % 2 == 0 and W % 2 == 0, (T, H, W)
         dt = self.compute_dtype
-        xc = x.astype(dt)
-        # pack 2x2x2 blocks into channels: (B, T/2, H/2, W/2, 8*C)
-        xp = xc.reshape(B, T // 2, 2, H // 2, 2, W // 2, 2, C)
-        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-            B, T // 2, H // 2, W // 2, 8 * C
-        )
+        if packed:
+            xp = x.astype(dt)  # 0..255 ints, exact in bf16 (8 significand bits)
+            w_eff = w * (1.0 / 255.0)
+        else:
+            B, T, H, W, C = x.shape
+            assert T % 2 == 0 and H % 2 == 0 and W % 2 == 0, (T, H, W)
+            xc = x.astype(dt)
+            # pack 2x2x2 blocks into channels: (B, T/2, H/2, W/2, 8*C)
+            xp = xc.reshape(B, T // 2, 2, H // 2, 2, W // 2, 2, C)
+            xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                B, T // 2, H // 2, W // 2, 8 * C
+            )
+            w_eff = w
         # kernel: pad 7->8, split parity: (4,4,4, 8*C, F)
-        wp = jnp.pad(w.astype(dt), ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
-        wp = wp.reshape(4, 2, 4, 2, 4, 2, C, self.features)
+        wp = jnp.pad(w_eff.astype(dt), ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+        wp = wp.reshape(4, 2, 4, 2, 4, 2, cin, self.features)
         wp = wp.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
-            4, 4, 4, 8 * C, self.features
+            4, 4, 4, 8 * cin, self.features
         )
         y = conv_nd(xp, wp, 1, [(1, 2), (1, 2), (1, 2)])
         y = TorchBatchNorm(name="bn", stats_groups=self.bn_groups if train else 1)(
@@ -219,6 +231,10 @@ class InceptionI3d(nn.Module):
         dt = self.compute_dtype
         out56 = out112 = None
         even = all(d % 2 == 0 for d in x.shape[1:4])
+        if x.dtype == jnp.uint8:  # packed prep path (train/step.py)
+            assert self.s2d_stem and even, (
+                "packed uint8 input requires the space-to-depth stem"
+            )
         for ep in VALID_ENDPOINTS:
             if ep == "Conv3d_1a_7x7":
                 if self.s2d_stem and even:

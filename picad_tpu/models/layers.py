@@ -27,16 +27,67 @@ import numpy as np
 
 from picad_tpu.ops.convops import conv_nd
 
-# One-pass BN batch stats (E[x^2] - E[x]^2) instead of the two-pass
-# E[(x - E[x])^2].  Hardware-A/B'd ON like every default here
-# (tools/ab_tapconv.py --bn-onepass, v5e, full train step: two runs,
-# -2.7 / -2.6 ms of a ~73 ms step — the 112^2 encoder BN stats drop one
-# whole HBM read of x).  PICAD_BN_ONEPASS=0 restores the literal
-# torch-form two-pass stats; the two differ only by f32 reassociation
-# roundoff (BN inputs are conv outputs with |mean| << std, and the
-# one-pass var is clamped >= 0), within every golden-parity tolerance
-# (tests/test_batchnorm.py, tests/test_train_parity.py).
+# One-pass BN batch stats instead of the two-pass E[(x - E[x])^2].
+# Hardware-A/B'd ON like every default here (tools/ab_tapconv.py
+# --bn-onepass, v5e, full train step: two runs, -2.7 / -3.8 ms of a
+# ~73 ms step — the 112^2 encoder BN stats drop one whole HBM read of
+# x, because the two-pass var needs the mean reduction to finish
+# before it can read x again).
+#
+# The TEXTBOOK one-pass form var = E[x^2] - E[x]^2 is NOT used: it
+# failed the train-mode golden test on hardware (loss off by rtol
+# 3.3e-4 vs the 1e-4 gate — catastrophic cancellation when a channel
+# has |mean| ~ std, which post-conv pre-BN activations do have at
+# init).  Instead we use the SHIFTED one-pass form: subtract a cheap
+# per-channel shift c (the mean of a small spatial subsample, under
+# stop_gradient), then one fused dual reduction of (x-c) and (x-c)^2.
+# var = E[(x-c)^2] - E[x-c]^2 has cancellation amplification
+# 1 + (mean-c)^2/var ~ 1 + O(1/subsample), i.e. two-pass-grade
+# accuracy, while still reading x once for stats.  The shift is
+# mathematically a no-op for both mean and var (and exactly so for
+# their gradients, since c is stopped), so torch parity holds at the
+# golden tolerances (tests/test_batchnorm.py incl. a dedicated
+# cancellation-stress case, tests/test_train_parity.py).
+# PICAD_BN_ONEPASS=0 restores the literal torch-form two-pass stats.
 _BN_ONEPASS = os.environ.get("PICAD_BN_ONEPASS", "1") == "1"
+
+# Per-spatial-dim subsample stride for the one-pass shift (stride 4 on
+# each of T/H/W keeps ~1.6% of a 3-D map, every image region sampled).
+_BN_SHIFT_STRIDE = 4
+
+# Only tensors at least this large (element count) take the one-pass
+# path; smaller BNs keep the two-pass form.  The HBM read the one-pass
+# form saves only matters on the few big stem/skip BNs, while its shift
+# reduce adds a fixed launch + serialization cost to every BN — ~40 of
+# the model's BNs are small enough that the overhead exceeds the saved
+# read.  Tests drop this to 0 to exercise the one-pass path on tiny
+# shapes.
+_BN_ONEPASS_MIN = 1 << 22
+
+# Staged (default OFF, flip only on a hardware A/B win): fold rows into
+# the lane dimension for the stats reductions when C < 128.  A (G, n, C)
+# f32/bf16 array with minor dim C=64 leaves half of every (8, 128)
+# vector-register/HBM tile as padding, so the bandwidth-bound stat
+# reductions over the 64-channel stem/skip BNs run at half the
+# achievable rate.  Reshaping to (G, n/k, k*C) with k = 128//C is a
+# contiguous reinterpretation (no data movement if XLA keeps the dense
+# layout), the axis-1 reduce fills all 128 lanes, and summing the k
+# folds afterwards reproduces the exact same per-channel sums (f32
+# reassociation-level deltas only).
+_BN_LANEFOLD = os.environ.get("PICAD_BN_LANEFOLD", "0") == "1"
+
+
+def _lanefold_sums(xs: jax.Array, n: int, c: int):
+    """Per-channel (sum(xs), sum(xs^2)) over axis 1 of (G, n, C),
+    lane-folded when profitable.  Returns two (G, C) f32 arrays."""
+    k = 128 // c if (0 < c < 128 and 128 % c == 0) else 1
+    if _BN_LANEFOLD and k > 1 and n % k == 0:
+        g = xs.shape[0]
+        xw = xs.reshape(g, n // k, k * c)
+        s1 = jnp.sum(xw, axis=1).reshape(g, k, c).sum(axis=1)
+        s2 = jnp.sum(jnp.square(xw), axis=1).reshape(g, k, c).sum(axis=1)
+        return s1, s2
+    return jnp.sum(xs, axis=1), jnp.sum(jnp.square(xs), axis=1)
 
 
 class TorchBatchNorm(nn.Module):
@@ -83,18 +134,34 @@ class TorchBatchNorm(nn.Module):
         # much better than the multi-axis reduce over (B/G, *spatial)
         # (measured several ms/step across the 112^2 encoder BNs)
         xf = x.astype(jnp.float32).reshape(G, n, c)
-        if _BN_ONEPASS:
-            # One-pass stats: E[x] and E[x^2] reduce over the SAME input
-            # in one fused multi-output reduction (one HBM read of x for
-            # stats instead of two — the two-pass var needs mean first).
-            # var = E[x^2] - E[x]^2 in f32; BN inputs are conv outputs
-            # with |mean| << std here, so the cancellation risk that makes
-            # this form dangerous in general does not bite (clamped >= 0
-            # regardless).
-            mean_g = jnp.mean(xf, axis=1)  # (G, C)
-            var_g = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=1) - jnp.square(mean_g), 0.0
-            )
+        if _BN_ONEPASS and G * n * c >= _BN_ONEPASS_MIN:
+            # Shifted one-pass stats (see module comment): E[x-c] and
+            # E[(x-c)^2] reduce over the SAME shifted input in one fused
+            # multi-output reduction — one HBM read of x for stats.  The
+            # shift c (a subsample mean, ~1.6% of the data) makes the
+            # E[(x-c)^2] - E[x-c]^2 subtraction cancellation-free; it is
+            # stopped, so mean/var gradients are exactly the two-pass ones.
+            # The shift is computed from a spatial subsample of the RAW
+            # bf16 x (stride 4 per spatial dim, ~1.6% of the data as
+            # small strided DMA reads).  Slicing the (G, n, C) f32 view
+            # instead (first attempt) made XLA materialize the whole f32
+            # convert before slicing — a full extra HBM write+read of x
+            # that cost more than the one-pass win (A/B: 77.39 vs 73.04
+            # ms two-pass).
+            sub = x[
+                (slice(None),)
+                + tuple(slice(None, None, _BN_SHIFT_STRIDE) for _ in x.shape[1:-1])
+                + (slice(None),)
+            ]
+            shift = jax.lax.stop_gradient(
+                jnp.mean(sub.astype(jnp.float32).reshape(G, -1, c), axis=1)
+            )  # (G, C)
+            xs = xf - shift[:, None, :]
+            s1, s2 = _lanefold_sums(xs, n, c)
+            m1 = s1 / n  # (G, C), ~0 by construction
+            m2 = s2 / n
+            mean_g = m1 + shift
+            var_g = jnp.maximum(m2 - jnp.square(m1), 0.0)
         else:
             mean_g = jnp.mean(xf, axis=1)  # (G, C)
             var_g = jnp.mean(

@@ -36,6 +36,8 @@ epochs; the pseudo-label epoch gate is a `jnp.where` inside the model.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -43,6 +45,46 @@ import optax
 from picad_tpu.config import LossConfig
 from picad_tpu.objectives.losses import weighted_mse_outer
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
+
+# Staged (default OFF until its hardware A/B): hand the model PACKED
+# uint8 views instead of f32 pixel views.  The round-4 device trace
+# showed ~10 ms/step of the ~71 ms step spent on input prep at terrible
+# vector-lane efficiency: every op on a (B, 8, 224, 224, 3) tensor uses
+# 3 of 128 lanes (the C-minor layout pads 3 -> 128), so the f32
+# horizontal flip alone (`reverse`) cost 4.2 ms and the model's
+# space-to-depth transposes another ~4.3 ms in bf16.  The packed path
+# reorders the SAME ops so the expensive ones touch small/wide data:
+#   1. 2x2x2 space-to-depth transpose in uint8 (1 byte/elem, 1/4 the
+#      bytes of f32) -> (B, 4, 112, 112, 24);
+#   2. horizontal flip = W-reverse + a wp-phase swap of the packed
+#      channels (exact: flipping before or after S2D commutes up to
+#      that fixed channel permutation), still uint8;
+#   3. /255 normalization folds into the stem conv kernel
+#      (models/i3d.py StemS2D: conv(x, w/255) == conv(x/255, w) and
+#      the BatchNorm right after the conv absorbs any affine scale;
+#      f32 delta ~1 ulp, tests/test_packed_prep.py).
+# The model detects packed input by dtype (uint8 reaches the stem only
+# on this path) and treats the logical clip dims as 2x the packed dims.
+_PACKED_PREP = os.environ.get("PICAD_PACKED_PREP", "0") == "1"
+
+
+def s2d_pack_u8(x: jax.Array) -> jax.Array:
+    """2x2x2 space-to-depth on (B, T, H, W, C) uint8 -> (B, T/2, H/2,
+    W/2, 8C), channel order (tp, hp, wp, c) — the exact packing
+    StemS2D applies to float input (models/i3d.py:111-115)."""
+    B, T, H, W, C = x.shape
+    xp = x.reshape(B, T // 2, 2, H // 2, 2, W // 2, 2, C)
+    xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return xp.reshape(B, T // 2, H // 2, W // 2, 8 * C)
+
+
+def flip_packed_w(p: jax.Array, c_raw: int = 3) -> jax.Array:
+    """Horizontal flip of the ORIGINAL clip, applied to its packed form:
+    w_orig = 2w + wp, so flip(w_orig) = 2(W/2-1-w) + (1-wp) — reverse
+    the packed W axis and swap the wp phase inside the channel dim."""
+    B, T2, H2, W2, C8 = p.shape
+    pr = p.reshape(B, T2, H2, W2, 2, 2, 2, c_raw)
+    return jnp.flip(pr, axis=(3, 6)).reshape(p.shape)
 
 
 def prepare_views(batch):
@@ -60,16 +102,29 @@ def prepare_views(batch):
       device-cache gather into the step was measured ~9 ms/step SLOWER
       than this split — the gather's layouts leaked relayout copies
       into the step body; see assemble_batch.)
+
+    With PICAD_PACKED_PREP=1 the uint8 layout is returned PACKED
+    (uint8 space-to-depth views, module comment above); the model
+    consumes either form.
     """
     data = batch["data"]
+    aug = batch.get("aug_data")
+    seg_gt = batch["loc_msk"][..., 0].astype(jnp.float32)  # (B, 8, H, W)
+    if (
+        _PACKED_PREP
+        and aug is None
+        and data.dtype == jnp.uint8
+        and data.shape[-1] == 3
+        and all(d % 2 == 0 for d in data.shape[1:4])
+    ):
+        p = s2d_pack_u8(data)
+        return p, flip_packed_w(p), seg_gt
     if data.dtype == jnp.uint8:
         data = data.astype(jnp.float32) / 255.0
-    aug = batch.get("aug_data")
     if aug is None:
         aug = jnp.flip(data, axis=3)
     elif aug.dtype == jnp.uint8:
         aug = aug.astype(jnp.float32) / 255.0
-    seg_gt = batch["loc_msk"][..., 0].astype(jnp.float32)  # (B, 8, H, W)
     return data, aug, seg_gt
 
 

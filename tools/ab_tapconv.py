@@ -14,6 +14,8 @@ Usage (on a TPU-attached host):
     python tools/ab_tapconv.py --wpack      # + width-packed decoder convs
     python tools/ab_tapconv.py --em-remat   # + checkpointed EM routing
     python tools/ab_tapconv.py --bn-onepass # + one-pass BN batch stats
+    python tools/ab_tapconv.py --bn-lanefold # + lane-folded stat reduces
+    python tools/ab_tapconv.py --packed     # + packed uint8 input prep
     python tools/ab_tapconv.py --no-tap ... # skip the tapconv-ON leg
 
 Note: every leg pins ALL lever globals explicitly (the baseline leg
@@ -38,7 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
               wpack: bool = False, em_remat: bool = False,
-              bn_onepass: bool = False) -> float:
+              bn_onepass: bool = False, bn_lanefold: bool = False,
+              packed_prep: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -46,11 +49,14 @@ def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
     import picad_tpu.ops.em_routing as em
     import picad_tpu.ops.tapconv as tc
     import picad_tpu.ops.wpack as wp
+    import picad_tpu.train.step as step_mod
 
     tc._ENABLED = enabled
     wp._ENABLED = wpack
     em._REMAT = em_remat
     layers._BN_ONEPASS = bn_onepass
+    layers._BN_LANEFOLD = bn_lanefold
+    step_mod._PACKED_PREP = packed_prep
     if chunk is not None:
         tc._CHUNK = chunk
 
@@ -111,6 +117,8 @@ def main():
     do_wpack = "--wpack" in args
     do_em_remat = "--em-remat" in args
     do_bn_onepass = "--bn-onepass" in args
+    do_bn_lanefold = "--bn-lanefold" in args
+    do_packed = "--packed" in args
     chunks = [int(a) for a in args if not a.startswith("--")] or [None]
     if "--no-tap" in args:  # measure only the other levers vs baseline
         chunks = []
@@ -139,6 +147,19 @@ def main():
         print(f"BN one-pass stats ON: {t_bn * 1e3:8.2f} ms/step  "
               f"{'WIN' if t_bn < t_off else 'LOSS'} "
               f"{(t_off - t_bn) * 1e3:+.2f} ms", flush=True)
+    if do_bn_lanefold:
+        # Measured on top of the one-pass default (the production path);
+        # compare against the --bn-onepass line for the incremental delta.
+        t_lf = step_time(False, bn_onepass=True, bn_lanefold=True)
+        print(f"BN one-pass + lane-fold ON: {t_lf * 1e3:8.2f} ms/step  "
+              f"{'WIN' if t_lf < t_off else 'LOSS'} vs two-pass "
+              f"{(t_off - t_lf) * 1e3:+.2f} ms", flush=True)
+    if do_packed:
+        # Measured on top of the one-pass BN default (the production path).
+        t_pk = step_time(False, bn_onepass=True, packed_prep=True)
+        print(f"packed uint8 prep ON: {t_pk * 1e3:8.2f} ms/step  "
+              f"{'WIN' if t_pk < t_off else 'LOSS'} vs baseline "
+              f"{(t_off - t_pk) * 1e3:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
