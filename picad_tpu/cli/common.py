@@ -66,6 +66,20 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--upper_thresh", type=float, default=None)
     p.add_argument("--gv_wt", type=float, default=0.5)
     # path + TPU knobs (new)
+    if dataset != "ucf101":
+        p.add_argument(
+            "--channel_order", type=str, default="reference",
+            choices=("reference", "rgb"),
+            help="JHMDB pixel channel order: 'reference' = raw cv2 BGR "
+            "exactly like the reference's loaders (they never cvtColor, "
+            "jhmdb_dataloader.py:238-246), 'rgb' converts (matches the "
+            "RGB statistics of the rgb_charades.pt I3D pretrain)",
+        )
+    p.add_argument(
+        "--decoder", type=str, default="cv2", choices=("cv2", "skvideo"),
+        help="UCF video decode stack ('skvideo' = the reference's "
+        "skvideo.io.vread path, needs the optional scikit-video package)",
+    )
     p.add_argument("--data_root", type=str, default="")
     p.add_argument("--mask_root", type=str, default="")
     p.add_argument("--annotation_root", type=str, default="")
@@ -123,6 +137,8 @@ def args_to_config(args, dataset: str) -> TrainConfig:
     cfg.data.decoded_cache_dir = args.decoded_cache_dir
     cfg.data.video_cache_bytes = int(args.video_cache_gb * (1 << 30))
     cfg.data.device_cache_bytes = int(args.device_cache_gb * (1 << 30))
+    cfg.data.channel_order = getattr(args, "channel_order", "reference")
+    cfg.data.decoder = args.decoder
 
     cfg.model.num_classes = 24 if dataset == "ucf101" else 21
     # Superseded-checkpoint deletion gate: the reference deletes earlier
@@ -201,29 +217,32 @@ def build_train_datasets(cfg: TrainConfig):
     elif d.dataset == "ucf101":
         lab = UCFVideoSource(
             os.path.join(d.annotation_root, d.pkl_file_label), d.data_root,
-            decoded_cache_dir=cache_dir,
+            decoded_cache_dir=cache_dir, decoder=d.decoder,
         )
         unl = UCFVideoSource(
             os.path.join(d.annotation_root, d.pkl_file_unlabel), d.data_root,
-            decoded_cache_dir=cache_dir,
+            decoded_cache_dir=cache_dir, decoder=d.decoder,
         )
         val = UCFVideoSource(
             os.path.join(d.annotation_root, d.test_file), d.data_root,
-            decoded_cache_dir=cache_dir,
+            decoded_cache_dir=cache_dir, decoder=d.decoder,
         )
         with_validity = False
     elif d.dataset == "jhmdb":
         lab = JHMDBVideoSource(
             os.path.join(d.annotation_root, d.pkl_file_label), d.data_root,
             d.mask_root, decoded_cache_dir=cache_dir,
+            channel_order=d.channel_order,
         )
         unl = JHMDBVideoSource(
             os.path.join(d.annotation_root, d.pkl_file_unlabel), d.data_root,
             d.mask_root, decoded_cache_dir=cache_dir,
+            channel_order=d.channel_order,
         )
         val = JHMDBVideoSource(
             os.path.join(d.annotation_root, "testlist.txt"), d.data_root,
             d.mask_root, decoded_cache_dir=cache_dir,
+            channel_order=d.channel_order,
         )
         with_validity = True
     else:

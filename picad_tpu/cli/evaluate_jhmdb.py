@@ -34,6 +34,14 @@ def main(argv=None):
     p.add_argument("--no_prune", action="store_true")
     p.add_argument("--log_predictions", action="store_true")
     p.add_argument(
+        "--channel_order", type=str, default="reference",
+        choices=("reference", "rgb"),
+        help="'reference' feeds raw cv2 BGR frames like the reference's "
+        "JHMDB loaders (jhmdb_dataloader_eval.py:108-118 — reference "
+        "checkpoints were trained on BGR); 'rgb' converts, for "
+        "checkpoints trained in this repo with --channel_order rgb",
+    )
+    p.add_argument(
         "--nan_safe", action="store_true",
         help="mean over present classes only (reference np.mean propagates "
         "NaN when a class has no test videos, evaluate_jhmdb.py:180-183)",
@@ -53,10 +61,16 @@ def main(argv=None):
     if args.synthetic:
         source = SyntheticVideoSource(8, num_classes=21, seed=args.seed)
     else:
+        # resize=None = the reference EVAL geometry: center-crop the RAW
+        # 240x320 video and score against the unresized puppet masks
+        # (jhmdb_dataloader_eval.py:83-140; the 256x256 resize is
+        # train-only, jhmdb_dataloader.py:249-268).
         source = JHMDBVideoSource(
             os.path.join(args.annotation_root, args.test_file),
             args.data_root,
             args.mask_root,
+            channel_order=args.channel_order,
+            resize=None,
         )
     dataset = EvalVideoDataset(source, return_name=True)
     sweep_checkpoints(

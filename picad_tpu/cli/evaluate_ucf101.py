@@ -10,7 +10,6 @@ import argparse
 import os
 
 import jax
-import numpy as np
 
 from picad_tpu.data.dataset import EvalVideoDataset
 from picad_tpu.data.sources import SyntheticVideoSource, UCFVideoSource
@@ -37,6 +36,13 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_prune", action="store_true")
     p.add_argument(
+        "--decoder", type=str, default="cv2", choices=("cv2", "skvideo"),
+        help="video decode stack: 'skvideo' reproduces the reference's "
+        "skvideo.io.vread/ffmpeg path (ucf_dataloader_eval.py:116; needs "
+        "the optional scikit-video package), 'cv2' is the built-in "
+        "OpenCV path (pixels usually identical, not provably so)",
+    )
+    p.add_argument(
         "--nan_safe", action="store_true",
         help="mean over present classes only (reference np.mean propagates "
         "NaN when a class has no test videos, evaluate_ucf101.py:184-187)",
@@ -56,14 +62,17 @@ def main(argv=None):
     if args.synthetic:
         source = SyntheticVideoSource(8, num_classes=24, seed=args.seed)
     else:
-        # Seed the single-annotation choice from --seed so the checkpoint
-        # sweep is reproducible run-to-run (reference: np.random.seed(47)
-        # at evaluate_ucf101.py:36 pins the same choice).
+        # The per-video single-annotation choice is drawn from the legacy
+        # MT19937 stream seeded by --seed in dataset order — the exact
+        # draws of np.random.seed(47) (evaluate_ucf101.py:36) +
+        # np.random.randint (ucf_dataloader_eval.py:135-137) with
+        # num_workers=0 (see PARITY.md for the num_workers>0 caveat).
         source = UCFVideoSource(
             os.path.join(args.annotation_root, args.test_file),
             args.data_root,
             single_annotation=True,
-            rng=np.random.default_rng(args.seed),
+            annotation_seed=args.seed,
+            decoder=args.decoder,
         )
     dataset = EvalVideoDataset(source)
     sweep_checkpoints(

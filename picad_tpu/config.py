@@ -43,6 +43,13 @@ class DataConfig:
     # jitted step (data/device_cache.py).  Falls back to host streaming
     # with a warning when the pool exceeds the budget.
     device_cache_bytes: int = 0
+    # JHMDB pixel channel order: 'reference' = raw cv2 BGR exactly like
+    # the reference loaders (they never convert — jhmdb_dataloader.py:
+    # 238-246); 'rgb' converts.  UCF is always RGB (skvideo order).
+    channel_order: str = "reference"
+    # UCF decode stack: 'cv2' (built-in) or 'skvideo' (the reference's
+    # skvideo.io.vread path; optional scikit-video dependency).
+    decoder: str = "cv2"
     # synthetic backend (hermetic tests / benchmarks)
     synthetic_num_videos: int = 64
     synthetic_video_len: int = 40
@@ -157,6 +164,15 @@ class TrainConfig:
         if self.data.clip_height % 16 or self.data.clip_width % 16:
             raise ConfigError(
                 "clip height/width must be divisible by 16 (I3D stride stack)"
+            )
+        if self.data.channel_order not in ("reference", "rgb"):
+            raise ConfigError(
+                f"--channel_order must be reference/rgb, got "
+                f"{self.data.channel_order!r}"
+            )
+        if self.data.decoder not in ("cv2", "skvideo"):
+            raise ConfigError(
+                f"--decoder must be cv2/skvideo, got {self.data.decoder!r}"
             )
 
 

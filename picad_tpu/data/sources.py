@@ -11,10 +11,12 @@ dataset.py.  Three backends:
   keyframe-interpolated variant of :237-258 is `rasterize_keyframe_boxes`,
   used by the eval 'train' split like ucf_dataloader_eval.py returns
   bbox_annot).
-- `JHMDBVideoSource`: JHMDB-21 — txt video lists, cv2 decode resized to
-  256x256 (INTER_AREA), `puppet_mask.mat` part_mask volumes resized
-  NEAREST (datasets/jhmdb_dataloader.py:233-307); every frame is
-  annotated.
+- `JHMDBVideoSource`: JHMDB-21 — txt video lists, cv2 decode in the
+  reference's raw BGR order (its loaders never cvtColor), resized to
+  256x256 INTER_AREA for training / kept raw for eval, `puppet_mask.mat`
+  part_mask volumes resized NEAREST (train) or raw (eval)
+  (datasets/jhmdb_dataloader.py:233-307, jhmdb_dataloader_eval.py:83-140);
+  every frame is annotated.
 - `SyntheticVideoSource`: procedural moving-actor videos + exact
   rectangular masks, deterministic per (seed, index) — the hermetic
   backend for tests and benchmarks (the reference has no equivalent; its
@@ -124,8 +126,16 @@ def rasterize_keyframe_boxes(
     return mask
 
 
-def _decode_video(path: str) -> np.ndarray | None:
-    """Decode a whole video with OpenCV (BGR->RGB)."""
+def _decode_video(path: str, *, to_rgb: bool = True) -> np.ndarray | None:
+    """Decode a whole video with OpenCV.
+
+    cv2 yields BGR frames; `to_rgb=True` converts to RGB (what
+    skvideo.io.vread produces, so the UCF path matches the reference's
+    decode library output order).  `to_rgb=False` keeps raw BGR — the
+    reference's JHMDB loaders append cv2 frames with no conversion
+    (jhmdb_dataloader.py:238-246, jhmdb_dataloader_eval.py:108-118), so
+    every reference JHMDB checkpoint sees BGR input.
+    """
     try:
         import cv2
 
@@ -135,7 +145,7 @@ def _decode_video(path: str) -> np.ndarray | None:
             ok, frame = cap.read()
             if not ok:
                 break
-            frames.append(frame[:, :, ::-1])
+            frames.append(frame[:, :, ::-1] if to_rgb else frame)
         cap.release()
         if not frames:
             return None
@@ -144,8 +154,26 @@ def _decode_video(path: str) -> np.ndarray | None:
         return None
 
 
+def _decode_video_skvideo(path: str) -> np.ndarray | None:
+    """Decode with skvideo.io.vread (ffmpeg) — the reference's UCF decode
+    library (ucf_dataloader.py:197, ucf_dataloader_eval.py:116).  Returns
+    RGB (F, H, W, 3) uint8.  Requires the optional `scikit-video` package
+    plus an ffmpeg binary; callers gate on availability."""
+    try:
+        from skvideo.io import vread  # optional dependency
+    except ImportError as e:
+        raise ImportError(
+            "decoder='skvideo' needs the scikit-video package (and ffmpeg); "
+            "install it or use the default decoder='cv2'"
+        ) from e
+    try:
+        return np.asarray(vread(str(path)))
+    except Exception:
+        return None
+
+
 def _decode_with_npy_cache(
-    path: str, cache_dir: str | None, key: str
+    path: str, cache_dir: str | None, key: str, *, decoder: str = "cv2"
 ) -> np.ndarray | None:
     """Whole-video decode with a write-through pre-decoded .npy cache.
 
@@ -157,15 +185,20 @@ def _decode_with_npy_cache(
     the ~8 needed frames from the page cache instead of running ffmpeg
     over hundreds.
     """
+    decode = _decode_video if decoder == "cv2" else _decode_video_skvideo
     if cache_dir is None:
-        return _decode_video(path)
-    npy = os.path.join(cache_dir, f"{key}.npy")
+        return decode(path)
+    # decoded pixels can differ between decode stacks (swscale versions,
+    # color-range handling), so skvideo-decoded files get their own key
+    npy = os.path.join(
+        cache_dir, f"{key}.npy" if decoder == "cv2" else f"{key}.skv.npy"
+    )
     if os.path.exists(npy):
         try:
             return np.load(npy, mmap_mode="r")
         except Exception:
             pass  # corrupt/partial file: fall through to re-decode
-    video = _decode_video(path)
+    video = decode(path)
     if video is None:
         return None
     try:
@@ -267,21 +300,41 @@ class UCFVideoSource:
         *,
         single_annotation: bool = False,
         keyframe_masks: bool = False,
-        rng: np.random.Generator | None = None,
+        annotation_seed: int = 47,
         decoded_cache_dir: str | None = None,
+        decoder: str = "cv2",
     ):
         with open(annotation_file, "rb") as f:
             self.records = pickle.load(f)
         self.data_root = data_root
         self.single_annotation = single_annotation
         self.decoded_cache_dir = decoded_cache_dir
+        if decoder not in ("cv2", "skvideo"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        # 'skvideo' reproduces the reference's UCF decode library
+        # (skvideo.io.vread, ucf_dataloader.py:197); 'cv2' (default) is
+        # the built-in stack — pixels are usually identical but the two
+        # ffmpeg paths are not provably so (see PARITY.md).
+        self.decoder = decoder
         # 'train'-split eval masks: keyframe boxes linearly interpolated
         # (ucf_dataloader_eval.py returns bbox_annot for name == 'train')
         self.keyframe_masks = keyframe_masks
-        # Default seed 47 = the reference's fixed eval seed
-        # (evaluate_ucf101.py:36 np.random.seed(47)) so the per-video
-        # single-annotation choice is reproducible run-to-run.
-        self.rng = rng or np.random.default_rng(47)
+        # Per-video single-annotation choice, precomputed in DATASET ORDER
+        # from the legacy MT19937 stream — exactly the draws the reference
+        # makes with np.random.seed(47) (evaluate_ucf101.py:36) +
+        # np.random.randint(0, len) only when len > 1
+        # (ucf_dataloader_eval.py:135-137), iterated index 0..N-1 (the
+        # num_workers=0 semantics; with workers the reference's stream is
+        # torch-version-dependent — PARITY.md).  Precomputing makes the
+        # choice independent of prefetch access order.
+        if single_annotation:
+            rs = np.random.RandomState(annotation_seed)
+            self._annot_choice = [
+                int(rs.randint(0, len(anns))) if len(anns) > 1 else 0
+                for _v_name, anns in self.records
+            ]
+        else:
+            self._annot_choice = None
 
     def __len__(self) -> int:
         return len(self.records)
@@ -292,13 +345,13 @@ class UCFVideoSource:
             os.path.join(self.data_root, "UCF101_Videos", f"{v_name}.avi"),
             self.decoded_cache_dir,
             v_name,
+            decoder=self.decoder,
         )
         if video is None:
             return None
         n, h, w, _ = video.shape
         if self.single_annotation:
-            idx = self.rng.integers(0, len(anns)) if len(anns) > 1 else 0
-            anns = [anns[idx]]
+            anns = [anns[self._annot_choice[index]]]
         mask, label, labeled, keyframes = rasterize_boxes(n, h, w, anns)
         if self.keyframe_masks:
             mask = rasterize_keyframe_boxes(n, h, w, anns[0])
@@ -308,7 +361,27 @@ class UCFVideoSource:
 
 
 class JHMDBVideoSource:
-    """JHMDB-21 source over a txt video list + puppet masks."""
+    """JHMDB-21 source over a txt video list + puppet masks.
+
+    `channel_order`:
+    - 'reference' (default): raw cv2 BGR frames, exactly what the
+      reference feeds — its JHMDB loaders never convert
+      (jhmdb_dataloader.py:238-246, jhmdb_dataloader_eval.py:108-118),
+      so every reference JHMDB checkpoint was trained AND evaluated on
+      BGR input.  Use this for any run that must be comparable to, or
+      load, reference weights.
+    - 'rgb': converted frames, for training fresh TPU checkpoints whose
+      I3D pretrain (rgb_charades.pt) saw RGB.
+
+    `resize`:
+    - 256 (default): frames INTER_AREA-resized + masks INTER_NEAREST to
+      256x256 — the TRAIN loader's geometry (jhmdb_dataloader.py:249-268).
+    - None: raw-resolution frames and UNRESIZED puppet masks — the EVAL
+      loader's geometry (jhmdb_dataloader_eval.py:83-140 center-crops the
+      raw 240x320 video and transposes the raw mask volume; it never
+      resizes to 256).  Eval at 256 would crop different pixels and score
+      against resampled ground truth — not the reference protocol.
+    """
 
     def __init__(
         self,
@@ -316,74 +389,108 @@ class JHMDBVideoSource:
         data_root: str,
         mask_root: str,
         decoded_cache_dir: str | None = None,
+        *,
+        channel_order: str = "reference",
+        resize: int | None = 256,
     ):
         with open(list_file) as f:
             self.names = [line.strip() for line in f if line.strip()]
         self.data_root = data_root
         self.mask_root = mask_root
         self.decoded_cache_dir = decoded_cache_dir
+        if channel_order not in ("reference", "rgb"):
+            raise ValueError(f"unknown channel_order {channel_order!r}")
+        self.channel_order = channel_order
+        self.resize = resize
 
     def __len__(self) -> int:
         return len(self.names)
 
+    def _cache_key(self, name: str) -> str:
+        # Distinct keys per (channel order, geometry): 'reference' BGR and
+        # raw-resolution variants must never read a cache file written by
+        # the other combination.
+        order = "bgr" if self.channel_order == "reference" else "rgb"
+        geom = f"r{self.resize}" if self.resize else "raw"
+        return f"{name}.{order}.{geom}"
+
     def _decode_resized(self, name: str) -> np.ndarray | None:
-        """256x256 INTER_AREA decode with the .npy write-through cache
-        (the resize happens before caching, so cache hits skip both the
-        decode and the resize)."""
+        """Decode (+ optional INTER_AREA resize) with the .npy
+        write-through cache; the resize happens before caching, so cache
+        hits skip both the decode and the resize."""
         import cv2
 
         if self.decoded_cache_dir is not None:
-            npy = os.path.join(self.decoded_cache_dir, f"{name}.npy")
+            npy = os.path.join(
+                self.decoded_cache_dir, f"{self._cache_key(name)}.npy"
+            )
             if os.path.exists(npy):
                 try:
                     return np.load(npy, mmap_mode="r")
                 except Exception:
                     pass
-        video = _decode_video(os.path.join(self.data_root, f"{name}.avi"))
+        video = _decode_video(
+            os.path.join(self.data_root, f"{name}.avi"),
+            to_rgb=self.channel_order == "rgb",
+        )
         if video is None:
             return None
-        vid256 = np.stack(
-            [
-                cv2.resize(f, (256, 256), interpolation=cv2.INTER_AREA)
-                for f in video
-            ]
-        )
+        if self.resize:
+            video = np.stack(
+                [
+                    cv2.resize(
+                        f, (self.resize, self.resize),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                    for f in video
+                ]
+            )
+        else:
+            video = np.ascontiguousarray(video)
         if self.decoded_cache_dir is not None:
             try:
                 os.makedirs(os.path.dirname(npy), exist_ok=True)
                 tmp = f"{npy}.tmp.{os.getpid()}.{threading.get_ident()}"
-                np.save(tmp, vid256)
+                np.save(tmp, video)
                 os.replace(tmp, npy)
             except Exception:
                 pass
-        return vid256
+        return video
 
     def load(self, index: int) -> VideoRecord | None:
         import cv2
         from scipy.io import loadmat
 
         name = self.names[index]
-        vid256 = self._decode_resized(name)
-        if vid256 is None:
+        vid = self._decode_resized(name)
+        if vid is None:
             return None
         try:
             mat = loadmat(os.path.join(self.mask_root, name, "puppet_mask.mat"))
             part_mask = mat["part_mask"]  # (H, W, F)
         except Exception:
             return None
-        # masks NEAREST to 256x256, like jhmdb_dataloader.py:257-268
         n_mask = part_mask.shape[2]
-        mask = np.stack(
-            [
-                cv2.resize(
-                    part_mask[:, :, m], (256, 256), interpolation=cv2.INTER_NEAREST
-                )
-                for m in range(n_mask)
-            ]
-        )[..., None].astype(np.uint8)
+        if self.resize:
+            # masks NEAREST to 256x256, like jhmdb_dataloader.py:257-268
+            mask = np.stack(
+                [
+                    cv2.resize(
+                        part_mask[:, :, m], (self.resize, self.resize),
+                        interpolation=cv2.INTER_NEAREST,
+                    )
+                    for m in range(n_mask)
+                ]
+            )[..., None].astype(np.uint8)
+        else:
+            # eval geometry: raw mask volume transposed (F, H, W, 1)
+            # (jhmdb_dataloader_eval.py:136-138)
+            mask = np.transpose(part_mask, (2, 0, 1))[..., None].astype(
+                np.uint8
+            )
         label = JHMDB_CLASSES.index(name.split("/")[0])
         annot_frames = np.arange(mask.shape[0])
-        return VideoRecord(vid256, mask, label, annot_frames, labeled=1, name=name)
+        return VideoRecord(vid, mask, label, annot_frames, labeled=1, name=name)
 
 
 class SyntheticVideoSource:

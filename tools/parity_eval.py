@@ -77,8 +77,23 @@ def parse_args(argv=None):
                    help="JHMDB: puppet_mask.mat root")
     p.add_argument("--clip_batch_size", type=int, default=14)
     p.add_argument("--seed", type=int, default=47,
-                   help="single-annotation choice seed (reference pins "
-                   "np.random.seed(47), evaluate_ucf101.py:36)")
+                   help="single-annotation choice seed: draws come from "
+                   "the legacy MT19937 stream in dataset order, the exact "
+                   "np.random.seed(47)+np.random.randint draws of the "
+                   "reference at num_workers=0 (evaluate_ucf101.py:36, "
+                   "ucf_dataloader_eval.py:135-137; see PARITY.md for the "
+                   "num_workers=8 caveat)")
+    p.add_argument("--decoder", choices=("cv2", "skvideo"), default="cv2",
+                   help="UCF decode stack; 'skvideo' reproduces the "
+                   "reference's skvideo.io.vread path bit-for-bit given "
+                   "the same ffmpeg (needs the optional scikit-video "
+                   "package), 'cv2' pixels are usually identical but not "
+                   "provably so")
+    p.add_argument("--channel_order", choices=("reference", "rgb"),
+                   default="reference",
+                   help="JHMDB channel order: 'reference' = raw cv2 BGR, "
+                   "what every reference JHMDB checkpoint was trained on "
+                   "(jhmdb_dataloader_eval.py:108-118 never converts)")
     p.add_argument("--reference_line", default="",
                    help="paste the line the REFERENCE eval printed for this "
                    "checkpoint; the tool diffs every field against it")
@@ -199,14 +214,22 @@ def build_dataset(args):
             os.path.join(args.annotation_root, args.test_file),
             args.data_root,
             single_annotation=True,
-            rng=np.random.default_rng(args.seed),
+            annotation_seed=args.seed,
+            decoder=args.decoder,
         )
     else:
         if not args.list_file or not args.mask_root:
             raise SystemExit(
                 "[parity] --dataset jhmdb needs --list_file and --mask_root"
             )
-        src = JHMDBVideoSource(args.list_file, args.data_root, args.mask_root)
+        # resize=None: the reference eval crops the RAW-resolution video
+        # and scores against the unresized puppet masks
+        # (jhmdb_dataloader_eval.py:83-140) — never the train loader's
+        # 256x256 geometry.
+        src = JHMDBVideoSource(
+            args.list_file, args.data_root, args.mask_root,
+            channel_order=args.channel_order, resize=None,
+        )
     hw = (args.input_hw, args.input_hw)
     return EvalVideoDataset(src, clip_shape=hw), n_classes
 
