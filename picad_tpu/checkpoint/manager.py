@@ -4,8 +4,12 @@ The reference saves a bare state_dict whenever train/val loss improves and
 deletes the previously-best file only while epoch < 20
 (main_ucf101.py:439-455); no optimizer state is saved and no resume
 exists.  We keep that policy for drop-in familiarity but checkpoint the
-*full* train state (params, batch stats, optimizer state, epoch, LR
-scheduler state), which adds real checkpoint/resume capability.
+*full* train state — params, batch stats, optimizer state, epoch, and
+the COMPLETE ReduceLROnPlateau state: the live LR (inside opt_state via
+inject_hyperparams) plus the best/num_bad_epochs/cooldown counters
+mirrored into TrainState.sched_* (train/state.py) — which adds real
+checkpoint/resume capability: a resumed run reduces the LR at the same
+epoch an unbroken run would.
 """
 
 from __future__ import annotations

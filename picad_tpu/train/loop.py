@@ -358,6 +358,10 @@ class Trainer:
         template = jax.device_get(self.state)
         restored = self.best_val.io.restore(path, template)
         self.state = jax.device_put(restored, self.replicated)
+        # Full scheduler continuity: counters + live LR come back from the
+        # state, so a resumed run reduces the LR at the SAME epoch an
+        # unbroken run would (tests/test_checkpoint.py).
+        restored.load_scheduler(self.scheduler)
         next_epoch = int(restored.epoch) + 1
         print(f"Resumed from {path} at epoch {next_epoch}")
         return next_epoch
@@ -374,17 +378,23 @@ class Trainer:
             for e in epochs:
                 train_loss = self.train_epoch(e)
                 val_loss = self.validate(e)
+                # Scheduler BEFORE checkpointing (the reference steps after
+                # saving, main_ucf101.py:456, but its .pth holds no
+                # scheduler; stepping first makes the saved state the exact
+                # point an unbroken run passes through, so --resume never
+                # loses a plateau step).  Params/losses are unaffected —
+                # only opt_state's LR and the mirrored counters change.
+                new_lr = self.scheduler.step(train_loss)
+                if abs(new_lr - self.state.learning_rate()) > 1e-6 * new_lr:
+                    self.state = self.state.with_learning_rate(new_lr)
+                    print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}")
                 self.state = self.state.replace(
                     epoch=jax.numpy.asarray(e, jax.numpy.int32)
-                )
+                ).with_scheduler(self.scheduler)
                 host_state = jax.device_get(self.state)
                 if self.best_val.maybe_save(e, val_loss, host_state):
                     print("Yay!!! Got the val loss down...")
                 if self.best_train.maybe_save(e, train_loss, host_state):
                     print("Yay!!! Got the train loss down...")
-                new_lr = self.scheduler.step(train_loss)
-                if abs(new_lr - self.state.learning_rate()) > 1e-6 * new_lr:
-                    self.state = self.state.with_learning_rate(new_lr)
-                    print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}")
         finally:
             self.logger.close()

@@ -1,6 +1,7 @@
 """torch->flax converter coverage + retention policy behavior."""
 
 import numpy as np
+import pytest
 
 from picad_tpu.checkpoint.torch_convert import (
     convert_capsnet_state_dict,
@@ -137,6 +138,78 @@ def test_converted_weights_load_into_model():
         np.asarray(got),
         np.transpose(sd["conv1.Conv3d_1a_7x7.conv3d.weight"], (2, 3, 4, 1, 0)),
     )
+
+
+def _tiny_state():
+    import jax
+
+    from picad_tpu.train.optimizer import make_optimizer
+    from picad_tpu.train.state import create_train_state
+
+    class TinyModel:
+        def init(self, rngs, *a):
+            return {"params": {"w": np.zeros((3,), np.float32)}}
+
+    return create_train_state(
+        TinyModel(), make_optimizer(1e-4), rng=jax.random.PRNGKey(0)
+    )
+
+
+def test_resume_mid_plateau_lr_drops_at_same_epoch(tmp_path):
+    """Checkpoints carry the ReduceLROnPlateau counters: a run resumed
+    mid-plateau reduces the LR at the SAME epoch as an unbroken run.
+    (Without the mirrored sched_* state a fresh scheduler restarts the
+    patience window — here that would delay the drop to epoch 7.)"""
+    import jax
+
+    from picad_tpu.checkpoint.manager import CheckpointIO
+    from picad_tpu.train.optimizer import ReduceLROnPlateau
+
+    losses = {1: 1.0, 2: 0.9, 3: 0.9, 4: 0.9, 5: 0.9, 6: 0.9}
+
+    def run_epoch(state, sched, e):
+        # mirrors Trainer.fit's scheduler/save ordering
+        lr = sched.step(losses[e])
+        if abs(lr - state.learning_rate()) > 1e-6 * lr:
+            state = state.with_learning_rate(lr)
+        return state.replace(
+            epoch=jax.numpy.asarray(e, jax.numpy.int32)
+        ).with_scheduler(sched), lr
+
+    # unbroken run: patience=2 -> 3rd consecutive bad epoch = epoch 5
+    sched = ReduceLROnPlateau(1e-4, patience=2, factor=0.1)
+    state = _tiny_state()
+    unbroken_lrs = {}
+    for e in range(1, 7):
+        state, unbroken_lrs[e] = run_epoch(state, sched, e)
+    assert unbroken_lrs[4] == 1e-4 and unbroken_lrs[5] == 1e-5
+
+    # interrupted run: checkpoint mid-plateau at epoch 3 (bad=1)
+    io = CheckpointIO()
+    sched = ReduceLROnPlateau(1e-4, patience=2, factor=0.1)
+    state = _tiny_state()
+    for e in range(1, 4):
+        state, _ = run_epoch(state, sched, e)
+    assert sched.num_bad_epochs == 1
+    ckpt = str(tmp_path / "ckpt_e3")
+    io.save(ckpt, jax.device_get(state))
+
+    # resume into FRESH objects (what Trainer.restore does)
+    restored = io.restore(ckpt, jax.device_get(_tiny_state()))
+    sched2 = ReduceLROnPlateau(1e-4, patience=2, factor=0.1)
+    restored.load_scheduler(sched2)
+    # best rides in the state as f32 (real losses are f32 off-device
+    # anyway; only this test's f64 literal sees the rounding)
+    assert sched2.best == pytest.approx(0.9) and sched2.num_bad_epochs == 1
+    resumed_lrs = {}
+    state2 = restored
+    for e in range(int(restored.epoch) + 1, 7):
+        state2, resumed_lrs[e] = run_epoch(state2, sched2, e)
+    # (the restored LR round-trips through f32 in opt_state, hence approx)
+    assert resumed_lrs[4] == pytest.approx(1e-4)  # no premature drop
+    assert resumed_lrs[5] == pytest.approx(1e-5)  # same drop epoch
+    assert unbroken_lrs[5] == 1e-5
+    assert resumed_lrs[6] == pytest.approx(unbroken_lrs[6])
 
 
 def test_best_checkpoint_policy(tmp_path):
