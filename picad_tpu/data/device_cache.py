@@ -215,6 +215,15 @@ class DeviceClipDataset(ClipDataset):
             "label_vid": np.int32(0),
         }
 
+    def zero_sample(self):
+        """Degraded/padding sample in THIS dataset's metadata layout.
+
+        Overrides ClipDataset.zero_sample (pixel layout) — a pixel-layout
+        zero sample would not collate with the metadata samples
+        __getitem__ yields (e.g. the all-pad lockstep branch in
+        train/loop.py validate)."""
+        return self._zero_meta()
+
     def __getitem__(self, index: int):
         gidx = index + self.index_offset
         plan = self._sample_plan(index, source_index=gidx)
@@ -257,8 +266,11 @@ def assemble_batch(pools, meta, out_hw: tuple[int, int]):
         meta["crop_y"], meta["crop_x"], out_hw,
     )
     # valid is float32 {0, 1} (JHMDB per-frame validity; all-ones for
-    # UCF) — exact as uint8, and the AND keeps loc_msk in {0, 1}.
-    valid_u8 = meta["valid"].astype(jnp.uint8)
+    # UCF).  Compare-then-cast: a bare .astype(uint8) would TRUNCATE any
+    # future fractional validity to 0 silently, where the host path
+    # multiplies by the float value — (> 0) keeps the binary contract
+    # loud and the AND keeps loc_msk in {0, 1}.
+    valid_u8 = (meta["valid"] > 0).astype(jnp.uint8)
     batch = {
         "data": data,
         "loc_msk": mask * valid_u8[:, :, None, None, None],
@@ -280,6 +292,18 @@ def make_assembler_put(pools, out_hw: tuple[int, int], *, sharding=None,
     NamedSharding) shards the metadata and the assembled batch alike;
     `put_batch` overrides the metadata placement (e.g. a multi-host
     put_global_batch).
+
+    MULTI-PROCESS CONSTRAINT: in multi-host runs this jit dispatches
+    from the prefetch thread, whose launch order relative to the main
+    thread's train-step launches differs per process.  That is safe ONLY
+    because the compiled assembler contains NO collectives: the pools
+    are fully replicated, the metadata arrives pre-sharded along the
+    batch axis, and out_shardings match the gather's natural placement,
+    so XLA compiles a pure per-device gather.  An accidental reshard
+    (e.g. pools sharded, or out_shardings that disagree with the
+    metadata placement) would insert collectives whose cross-process
+    launch order is unsynchronized — a deadlock.  `put` asserts the
+    replicated-pools half of that contract on the first call.
     """
     import functools
 
@@ -289,6 +313,17 @@ def make_assembler_put(pools, out_hw: tuple[int, int], *, sharding=None,
         functools.partial(assemble_batch, out_hw=out_hw),
         **({"out_shardings": sharding} if sharding is not None else {}),
     )
+
+    if jax.process_count() > 1 or sharding is not None:
+        for name, pool in pools.items():
+            ps = getattr(pool, "sharding", None)
+            if ps is not None and not ps.is_fully_replicated:
+                raise ValueError(
+                    f"make_assembler_put: {name} must be fully replicated "
+                    f"(got {ps}) — a sharded pool would compile collectives "
+                    "into the assembler, whose prefetch-thread launch order "
+                    "is unsynchronized across processes (deadlock)"
+                )
 
     def put(meta):
         if put_batch is not None:
