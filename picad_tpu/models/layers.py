@@ -45,9 +45,12 @@ from picad_tpu.ops.convops import conv_nd
 # 1 + (mean-c)^2/var ~ 1 + O(1/subsample), i.e. two-pass-grade
 # accuracy, while still reading x once for stats.  The shift is
 # mathematically a no-op for both mean and var (and exactly so for
-# their gradients, since c is stopped), so torch parity holds at the
-# golden tolerances (tests/test_batchnorm.py incl. a dedicated
-# cancellation-stress case, tests/test_train_parity.py).
+# their gradients, since c is stopped).  Torch parity of THIS path is
+# pinned by unit tests that drop _BN_ONEPASS_MIN to 0
+# (tests/test_batchnorm.py: cancellation stress, grad-vs-two-pass, and
+# the stats_groups=2 fold_flip config); the full-model golden test
+# (tests/test_train_parity.py) runs at shapes BELOW the gate, so it
+# covers the two-pass form only.
 # PICAD_BN_ONEPASS=0 restores the literal torch-form two-pass stats.
 _BN_ONEPASS = os.environ.get("PICAD_BN_ONEPASS", "1") == "1"
 

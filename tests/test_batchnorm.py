@@ -142,6 +142,67 @@ def test_batchnorm_onepass_matches_twopass_grads():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
 
 
+def test_batchnorm_stats_groups2_onepass_matches_two_torch_forwards():
+    """stats_groups=2 on the ONE-PASS path (the production fold_flip
+    config: bn_groups=2 + PICAD_BN_ONEPASS=1, which no other test
+    combined before) == two sequential torch forwards: group g of the
+    folded batch normalizes with its own batch stats, and the running
+    stats see two sequential EMA updates."""
+    c = 6
+    halves = [
+        (RNG.standard_normal((2, c, 3, 8, 8)).astype(np.float32)
+         + 5.0 * RNG.standard_normal((1, c, 1, 1, 1)).astype(np.float32))
+        for _ in range(2)
+    ]
+    bn_t, (o1, o2) = _run_torch(halves, training=True)
+
+    mod = TorchBatchNorm(stats_groups=2)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 1, 1, 1, c)), False)
+    params = {
+        "scale": jnp.asarray(bn_t.weight.detach().numpy()),
+        "bias": jnp.asarray(bn_t.bias.detach().numpy()),
+    }
+    folded = jnp.concatenate(
+        [jnp.asarray(np.moveaxis(h, 1, -1)) for h in halves], axis=0
+    )
+    out, mut = mod.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        folded, False, mutable=["batch_stats"],
+    )
+    got = np.moveaxis(np.asarray(out), -1, 1)
+    np.testing.assert_allclose(got[:2], o1, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[2:], o2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]), bn_t.running_mean.numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]), bn_t.running_var.numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # and the G=2 one-pass gradient matches the two-pass form
+    from picad_tpu.models import layers as L
+
+    def loss(xj):
+        o, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xj, False, mutable=["batch_stats"],
+        )
+        return jnp.sum(o * o)
+
+    saved = L._BN_ONEPASS
+    try:
+        L._BN_ONEPASS = True
+        v1, g1 = jax.value_and_grad(loss)(folded)
+        L._BN_ONEPASS = False
+        v2, g2 = jax.value_and_grad(loss)(folded)
+    finally:
+        L._BN_ONEPASS = saved
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
 def test_batchnorm_lanefold_matches_default():
     """Lane-folded stat reduction (staged PICAD_BN_LANEFOLD) is exact.
 
