@@ -148,7 +148,12 @@ def main():
     shard = batch_sharding(mesh)
     n_chips = mesh.size
 
-    model = CapsNet(num_classes=24, compute_dtype=jnp.bfloat16, bn_groups=2)
+    # ONE dtype variable feeds the model AND the analytic-credit gates
+    # below — if the bench config drifts, the Pallas dispatch gating
+    # (the round-3 MFU-inflation fix) evaluates the same problem the
+    # step actually runs.
+    compute_dtype = jnp.bfloat16
+    model = CapsNet(num_classes=24, compute_dtype=compute_dtype, bn_groups=2)
     optimizer = make_optimizer(1e-4)
     state = create_train_state(
         model, optimizer, rng=jax.random.PRNGKey(47),
@@ -215,14 +220,25 @@ def main():
         from picad_tpu.ops import fused_head, tapconv
 
         fold = 2 * BS
-        ho = H // 8 - 8  # 28x28 Mixed_4f map -> 20x20 after the 9x9 VALID
-        pcaps_cos = (512, 32) if capsules._PCAPS_SPLIT else (544,)
+        # PrimaryCaps problem, derived from the model architecture (not
+        # re-hardcoded): K from the flax module default the model uses,
+        # pose/act widths from caps_types * pose_size^2; 832 is the
+        # Mixed_4f channel count (fixed by the I3D truncation the model
+        # is built with, models/i3d.py).
+        k = capsules.PrimaryCaps.kernel
+        caps, p = capsules.PrimaryCaps.caps_types, capsules.PrimaryCaps.pose_size
+        cin = 832
+        ho = H // 8 - (k - 1)  # 28x28 Mixed_4f map -> 20x20 after KxK VALID
+        pcaps_cos = (
+            (caps * p * p, caps) if capsules._PCAPS_SPLIT
+            else (caps * p * p + caps,)
+        )
         for co in pcaps_cos:
             if tapconv.kernels_active(
-                (fold, H // 8, W // 8, 832), (9, 9, 832, co), jnp.bfloat16
+                (fold, H // 8, W // 8, cin), (k, k, cin, co), compute_dtype
             ):
-                step_flops += 3 * 2 * fold * ho * ho * 832 * co * 81
-        if fused_head.pallas_head_active((4, H // 2, W // 2), 128, jnp.bfloat16):
+                step_flops += 3 * 2 * fold * ho * ho * cin * co * k * k
+        if fused_head.pallas_head_active((4, H // 2, W // 2), 128, compute_dtype):
             comp_elems = fold * 4 * (H // 2) * (W // 2) * 128  # (B,4,112,112,128)
             step_flops += 3 * 2 * comp_elems * 125
 
@@ -356,10 +372,12 @@ def main():
         for b in stream_batcher.epoch(0):  # warm the decode cache
             pass
         # Measure the raw H2D link rate so the streaming number is
-        # interpretable: on tunneled attachments the link is the hard
-        # ceiling (bs*clip_bytes / rate), and it VARIES run to run
-        # (~20-150 MB/s observed).  On a real TPU host (PCIe/DMA, GB/s)
-        # streaming approaches the device rate.
+        # interpretable: the link is the hard ceiling —
+        #   stream_ceiling ~= link_MBps * bs / batch_MB
+        # and on tunneled attachments it VARIES run to run (~8-150 MB/s
+        # observed).  We have never measured a PCIe-attached host; a
+        # future operator can get that one number with
+        # `python tools/bench_h2d.py` and apply the formula.
         probe = batch_np["data"]
         t0 = time.perf_counter()
         d = jax.device_put(probe)
