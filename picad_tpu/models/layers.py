@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from picad_tpu.ops import bn_stats
 from picad_tpu.ops.convops import conv_nd
 
 # One-pass BN batch stats instead of the two-pass E[(x - E[x])^2].
@@ -137,7 +138,16 @@ class TorchBatchNorm(nn.Module):
         # much better than the multi-axis reduce over (B/G, *spatial)
         # (measured several ms/step across the 112^2 encoder BNs)
         xf = x.astype(jnp.float32).reshape(G, n, c)
-        if _BN_ONEPASS and G * n * c >= _BN_ONEPASS_MIN:
+        if G * n * c >= _BN_ONEPASS_MIN and bn_stats.pallas_stats_active(
+            x.shape, G, x.dtype
+        ):
+            # Staged PICAD_BN_PALLAS: one hand-scheduled Pallas pass
+            # streams the RAW x through VMEM and emits both stats with
+            # f32 tile accumulators (ops/bn_stats.py — same shifted
+            # numerics and exact analytic gradient as the branch below;
+            # oracle-tested in tests/test_bn_stats.py).
+            mean_g, var_g = bn_stats.group_stats(x, G)
+        elif _BN_ONEPASS and G * n * c >= _BN_ONEPASS_MIN:
             # Shifted one-pass stats (see module comment): E[x-c] and
             # E[(x-c)^2] reduce over the SAME shifted input in one fused
             # multi-output reduction — one HBM read of x for stats.  The

@@ -16,6 +16,7 @@ Usage (on a TPU-attached host):
     python tools/ab_tapconv.py --bn-onepass # + one-pass BN batch stats
     python tools/ab_tapconv.py --bn-lanefold # + lane-folded stat reduces
     python tools/ab_tapconv.py --packed     # + packed uint8 input prep
+    python tools/ab_tapconv.py --bn-pallas  # + Pallas BN-stats kernel
     python tools/ab_tapconv.py --no-tap ... # skip the tapconv-ON leg
 
 Note: every leg pins ALL lever globals explicitly (the baseline leg
@@ -41,11 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
               wpack: bool = False, em_remat: bool = False,
               bn_onepass: bool = False, bn_lanefold: bool = False,
-              packed_prep: bool = False) -> float:
+              packed_prep: bool = False, bn_pallas: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
     import picad_tpu.models.layers as layers
+    import picad_tpu.ops.bn_stats as bns
     import picad_tpu.ops.em_routing as em
     import picad_tpu.ops.tapconv as tc
     import picad_tpu.ops.wpack as wp
@@ -57,6 +59,7 @@ def step_time(enabled: bool, chunk: int | None = None, steps: int = 20,
     layers._BN_ONEPASS = bn_onepass
     layers._BN_LANEFOLD = bn_lanefold
     step_mod._PACKED_PREP = packed_prep
+    bns._ENABLED = bn_pallas
     if chunk is not None:
         tc._CHUNK = chunk
 
@@ -119,6 +122,7 @@ def main():
     do_bn_onepass = "--bn-onepass" in args
     do_bn_lanefold = "--bn-lanefold" in args
     do_packed = "--packed" in args
+    do_bn_pallas = "--bn-pallas" in args
     chunks = [int(a) for a in args if not a.startswith("--")] or [None]
     if "--no-tap" in args:  # measure only the other levers vs baseline
         chunks = []
@@ -160,6 +164,13 @@ def main():
         print(f"packed uint8 prep ON: {t_pk * 1e3:8.2f} ms/step  "
               f"{'WIN' if t_pk < t_off else 'LOSS'} vs baseline "
               f"{(t_off - t_pk) * 1e3:+.2f} ms", flush=True)
+    if do_bn_pallas:
+        # Pallas stats replace the one-pass XLA reduce on the big BNs;
+        # compare against the --bn-onepass line for the incremental delta.
+        t_bp = step_time(False, bn_onepass=True, bn_pallas=True)
+        print(f"Pallas BN stats ON (+one-pass elsewhere): {t_bp * 1e3:8.2f} "
+              f"ms/step  {'WIN' if t_bp < t_off else 'LOSS'} vs two-pass "
+              f"{(t_off - t_bp) * 1e3:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
