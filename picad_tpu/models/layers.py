@@ -141,11 +141,12 @@ class TorchBatchNorm(nn.Module):
         if G * n * c >= _BN_ONEPASS_MIN and bn_stats.pallas_stats_active(
             x.shape, G, x.dtype
         ):
-            # Staged PICAD_BN_PALLAS: one hand-scheduled Pallas pass
-            # streams the RAW x through VMEM and emits both stats with
-            # f32 tile accumulators (ops/bn_stats.py — same shifted
-            # numerics and exact analytic gradient as the branch below;
-            # oracle-tested in tests/test_bn_stats.py).
+            # PICAD_BN_PALLAS (default OFF — lost its full-step A/B by
+            # ~0.9 ms, see ops/bn_stats.py): one hand-scheduled Pallas
+            # pass streams the RAW x through VMEM and emits both stats
+            # with f32 tile accumulators — same shifted numerics and
+            # exact analytic gradient as the branch below; oracle-tested
+            # in tests/test_bn_stats.py.
             mean_g, var_g = bn_stats.group_stats(x, G)
         elif _BN_ONEPASS and G * n * c >= _BN_ONEPASS_MIN:
             # Shifted one-pass stats (see module comment): E[x-c] and

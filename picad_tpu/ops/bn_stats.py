@@ -1,7 +1,19 @@
 """Pallas dual-reduction kernel for BatchNorm batch statistics.
 
-STAGED lever (default OFF until its hardware A/B, repo convention —
-README "Performance notes"): `PICAD_BN_PALLAS=1` routes the big
+Measured LOSS — stays OFF (hardware A/B, v5e full train step,
+tools/ab_tapconv.py --bn-pallas, 2026-08-20, two runs: 72.86 / 72.73 ms
+vs the 72.17 / 71.82 ms one-pass comparator whose XLA reduce it
+replaces — reproducibly ~0.7-0.9 ms SLOWER, and also behind the
+72.59 / 72.41 ms two-pass baseline).  The XLA one-pass fused reduction
+already runs these (..., 64)-channel stat passes within ~1 ms of this
+hand-scheduled loop, and pallas_call costs what the fusion saves: the
+kernel is an HBM->VMEM stream either way, but XLA's version fuses the
+f32 convert + shift subtraction into the PRODUCING fusion while the
+Pallas call forces x to be materialized as its operand.  Kept in-tree
+as an exact, oracle-tested identity (tests/test_bn_stats.py);
+`PICAD_BN_PALLAS=1` re-enables for future re-measurement.
+
+Original hypothesis: `PICAD_BN_PALLAS=1` routes the big
 stem/skip BN statistics through ONE Pallas pass that streams x through
 VMEM once and emits per-group mean and (biased) variance directly.
 
@@ -43,8 +55,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Staged default OFF: flip to "1" only on a measured full-step win
-# (tools/ab_tapconv.py --bn-pallas).
+# Default OFF: the full-step A/B measured it a reproducible loss
+# (module comment); "1" re-enables for re-measurement.
 _ENABLED = os.environ.get("PICAD_BN_PALLAS", "0") == "1"
 
 # Hard VMEM comfort bound for one (TM, C) f32 tile.
@@ -94,6 +106,7 @@ def _stats_pallas(x3: jax.Array, *, tm: int, interpret: bool = False):
     nt = n // tm
 
     def kernel(x_ref, mean_ref, var_ref, acc_ref, shift_ref):
+        g = pl.program_id(0)
         j = pl.program_id(1)
         tile = x_ref[0].astype(jnp.float32)  # (tm, C)
 
@@ -116,10 +129,15 @@ def _stats_pallas(x3: jax.Array, *, tm: int, interpret: bool = False):
             s1 = jnp.sum(acc_ref[0], axis=0)  # (C,)
             s2 = jnp.sum(acc_ref[1], axis=0)
             m1 = s1 / n
-            mean_ref[0, :] = m1 + shift_ref[0, :]
-            var_ref[0, :] = jnp.maximum(s2 / n - m1 * m1, 0.0)
+            mean_ref[g, :] = m1 + shift_ref[0, :]
+            var_ref[g, :] = jnp.maximum(s2 / n - m1 * m1, 0.0)
 
-    out_spec = pl.BlockSpec((1, C), lambda g, j: (g, 0))
+    # Mosaic's block rule needs the output's last-two block dims either
+    # 8/128-divisible or FULL — a (1, C) row block over (G, C) with
+    # G=2 fails both, so the whole (G, C) array rides one VMEM block
+    # (tiny: 2*64 f32) and the last tile of each group stores its row
+    # at a dynamic index.
+    out_spec = pl.BlockSpec((G, C), lambda g, j: (0, 0))
     mean, var = pl.pallas_call(
         kernel,
         grid=(G, nt),

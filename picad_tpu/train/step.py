@@ -46,7 +46,22 @@ from picad_tpu.config import LossConfig
 from picad_tpu.objectives.losses import weighted_mse_outer
 from picad_tpu.ops.masks import pixelwise_cyclic_variance, pixelwise_gradient
 
-# Staged (default OFF until its hardware A/B): hand the model PACKED
+# Measured LOSS — stays OFF (hardware A/B, v5e full train step,
+# tools/ab_tapconv.py --packed, 2026-08-20, two runs: 75.63 / 75.57 ms
+# vs the 72.17 / 71.82 ms one-pass-BN comparator it runs on top of —
+# reproducibly ~3.5 ms SLOWER).  The round-4 trace's ~10 ms input-prep
+# attribution was fused-NEIGHBOR accounting (the same pathology that
+# sank the tapconv kernels): the f32 flip/transpose fusions XLA emits
+# also carry parts of the stem compute, so removing the prep ops does
+# not remove the time — while the uint8 S2D transpose itself vectorizes
+# no better (1-byte elements pack 4x more per lane but Mosaic/XLA emit
+# sub-word shuffles for the (..., 3)-minor relayout), and the /255-
+# folded stem kernel breaks the stem conv out of its producer fusion.
+# Kept in-tree as an exact, oracle-tested identity
+# (tests/test_packed_prep.py, test_packed_step.py); the hypothesis
+# record below documents what was expected and why it was wrong.
+#
+# Original hypothesis: hand the model PACKED
 # uint8 views instead of f32 pixel views.  The round-4 device trace
 # showed ~10 ms/step of the ~71 ms step spent on input prep at terrible
 # vector-lane efficiency: every op on a (B, 8, 224, 224, 3) tensor uses
